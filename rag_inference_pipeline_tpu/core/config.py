@@ -1,0 +1,253 @@
+"""Settings system: env vars + .env files -> a validated settings object.
+
+Re-creates the semantics of the reference's pydantic-settings layer
+(reference: src/pipeline/config/__init__.py — ~60 fields for node topology,
+per-service batch knobs, cache capacities/TTL, index params, payload mode,
+compression, model names, telemetry toggles), without pydantic-settings
+(not in the image): a small env loader over a pydantic BaseModel.
+
+TPU-specific additions: mesh axis sizes (dp/tp), dtype policy, shape-bucket
+ladders for the batcher, and index kind/quantization knobs.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+from typing import Any, Optional
+
+from pydantic import BaseModel, Field, field_validator, model_validator
+
+from .enums import IndexKind, NodeRole, PayloadMode, derive_node_role
+
+
+def _parse_env_file(path: str) -> dict[str, str]:
+    """Minimal .env parser: KEY=VALUE lines, '#' comments, optional quotes."""
+    out: dict[str, str] = {}
+    try:
+        with open(path, "r", encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("#") or "=" not in line:
+                    continue
+                key, _, value = line.partition("=")
+                value = value.strip().strip("'\"")
+                out[key.strip()] = value
+    except FileNotFoundError:
+        pass
+    return out
+
+
+class Settings(BaseModel):
+    """All runtime configuration. Field names upper-case to env var names."""
+
+    # --- node topology (reference config/__init__.py:81-97,447-463) ---
+    node_number: int = 0
+    total_nodes: int = 1
+    node_0_ip: str = "127.0.0.1"
+    node_1_ip: str = "127.0.0.1"
+    node_2_ip: str = "127.0.0.1"
+    base_port: int = 8000
+    pipeline_role_profile: Optional[str] = None
+    role_profile_override_path: Optional[str] = None
+
+    # --- mesh / device (TPU-native; replaces reference's absent TP/DP) ---
+    mesh_dp: int = 0  # 0 = infer from device count / tp
+    mesh_tp: int = 1
+    device_platform: Optional[str] = None  # None = jax default
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "bfloat16"
+
+    # --- batching (reference :265-314) ---
+    gateway_batch_size: int = 8
+    gateway_batch_timeout_ms: float = 50.0
+    retrieval_batch_size: int = 32
+    retrieval_batch_timeout_ms: float = 20.0
+    generation_batch_size: int = 8
+    generation_batch_timeout_ms: float = 50.0
+    gateway_pipeline_chunks: int = 4
+    adaptive_batching: bool = True
+    adaptive_min_delay_ms: float = 5.0
+    # XLA needs static shapes: the batcher pads to these bucket sizes
+    batch_shape_buckets: str = "1,2,4,8,16,32,64"
+
+    # --- caches (reference :149-203) ---
+    query_cache_capacity: int = 1024
+    query_cache_ttl_s: float = 300.0
+    query_cache_fuzzy: bool = False
+    embedding_cache_capacity: int = 10000
+    search_cache_capacity: int = 4096
+    document_cache_capacity: int = 8192
+    document_cache_ttl_s: float = 600.0
+
+    # --- index (reference :106-197,226 + TPU quantization knobs) ---
+    index_kind: IndexKind = IndexKind.FLAT
+    index_path: Optional[str] = None
+    index_dim: int = 768
+    index_metric: str = "ip"  # ip | l2
+    index_nlist: int = 4096
+    index_nprobe: int = 64
+    index_pq_m: int = 96  # subspaces (768/8)
+    index_pq_bits: int = 8
+    index_dtype: str = "bfloat16"  # storage dtype for flat/ivf vectors
+    index_search_oversample: int = 4  # partial-topk bin oversampling
+    index_shard_axis: str = "dp"  # mesh axis database rows are sharded over
+
+    # --- retrieval / generation semantics (reference :231-244) ---
+    retrieval_k: int = 10
+    rerank_top_n: int = 3
+    max_tokens: int = 128
+    truncate_length: int = 512
+    llm_context_docs: int = 3
+    llm_doc_chars: int = 200
+
+    # --- payload / compression (reference :205-223) ---
+    documents_payload_mode: PayloadMode = PayloadMode.FULL
+    compression_algorithm: str = "zstd"  # zstd | none
+    compression_level: int = 3
+    compression_min_bytes: int = 512
+
+    # --- model names (reference :316-340) ---
+    embedding_model: str = "BAAI/bge-base-en-v1.5"
+    reranker_model: str = "BAAI/bge-reranker-base"
+    llm_model: str = "Qwen/Qwen2.5-0.5B-Instruct"
+    sentiment_model: str = "nlptown/bert-base-multilingual-uncased-sentiment"
+    toxicity_model: str = "unitary/toxic-bert"
+    model_weights_dir: Optional[str] = None  # local safetensors checkpoints
+    allow_random_weights: bool = True  # offline fallback for dev/test
+
+    # --- doc store ---
+    document_db_path: Optional[str] = None
+    doc_store_backend: str = "native"  # native (C++ arena) | sqlite | memory
+    doc_store_in_memory: bool = False
+
+    # --- serving / rpc ---
+    request_timeout_s: float = 120.0
+    rpc_retries: int = 3
+    rpc_backoff_base_s: float = 0.1
+    http_max_connections: int = 100
+
+    # --- telemetry (reference :362-404) ---
+    enable_tracing: bool = False
+    otlp_endpoint: str = "http://localhost:4317"
+    enable_profiling: bool = False
+    profiling_sample_rate: float = 0.2
+    enable_metrics: bool = True
+    log_level: str = "INFO"
+    run_id: str = "dev"
+
+    # --- generation decode engine ---
+    decode_max_concurrency: int = 32  # continuous-batching lanes
+    prefill_buckets: str = "128,256,512"
+    kv_cache_max_len: int = 1024
+
+    @field_validator("total_nodes")
+    @classmethod
+    def _check_total_nodes(cls, v: int) -> int:
+        if not 1 <= v <= 3:
+            raise ValueError("total_nodes must be 1..3 (1 = single-process mesh mode)")
+        return v
+
+    @field_validator("node_number")
+    @classmethod
+    def _check_node_number(cls, v: int) -> int:
+        if v not in (0, 1, 2):
+            raise ValueError("node_number must be 0, 1 or 2")
+        return v
+
+    @field_validator("index_metric")
+    @classmethod
+    def _check_metric(cls, v: str) -> str:
+        if v not in ("ip", "l2"):
+            raise ValueError("index_metric must be 'ip' or 'l2'")
+        return v
+
+    @model_validator(mode="after")
+    def _check_pq(self) -> "Settings":
+        if self.index_dim % self.index_pq_m != 0:
+            raise ValueError(
+                f"index_dim ({self.index_dim}) must be divisible by "
+                f"index_pq_m ({self.index_pq_m})"
+            )
+        if self.index_pq_bits != 8:
+            raise ValueError("only 8-bit PQ codes are supported")
+        return self
+
+    # --- computed properties (reference :413-445) ---
+    @property
+    def node_role(self) -> NodeRole:
+        return derive_node_role(self.node_number)
+
+    def node_url(self, node: int) -> str:
+        ip = getattr(self, f"node_{node}_ip")
+        return f"http://{ip}:{self.base_port + node}"
+
+    @property
+    def retrieval_url(self) -> str:
+        return self.node_url(1 if self.total_nodes > 1 else 0)
+
+    @property
+    def generation_url(self) -> str:
+        return self.node_url(2 if self.total_nodes > 2 else 0)
+
+    @property
+    def listen_port(self) -> int:
+        return self.base_port + self.node_number
+
+    @property
+    def listen_host(self) -> str:
+        return "0.0.0.0"
+
+    @property
+    def shape_buckets(self) -> tuple[int, ...]:
+        return tuple(int(x) for x in self.batch_shape_buckets.split(",") if x)
+
+    @property
+    def prefill_bucket_list(self) -> tuple[int, ...]:
+        return tuple(int(x) for x in self.prefill_buckets.split(",") if x)
+
+
+_BOOL_TRUE = {"1", "true", "yes", "on"}
+
+
+def _coerce(field_type: Any, raw: str) -> Any:
+    if field_type is bool:
+        return raw.lower() in _BOOL_TRUE
+    return raw
+
+
+def load_settings(
+    env: Optional[dict[str, str]] = None, env_file: Optional[str] = None
+) -> Settings:
+    """Build Settings from (os.environ | env overrides | .env file).
+
+    Precedence (highest first): explicit `env` dict, process environment,
+    .env file, field defaults — same layering as the reference's
+    pydantic-settings config (.env.shared/.env.local/.env.prod presets).
+    """
+    merged: dict[str, str] = {}
+    if env_file:
+        merged.update(_parse_env_file(env_file))
+    else:
+        merged.update(_parse_env_file(os.path.join(os.getcwd(), ".env")))
+    merged.update({k: v for k, v in os.environ.items()})
+    if env:
+        merged.update(env)
+
+    kwargs: dict[str, Any] = {}
+    for name, field in Settings.model_fields.items():
+        env_name = name.upper()
+        if env_name in merged:
+            kwargs[name] = _coerce(field.annotation, merged[env_name])
+    return Settings(**kwargs)
+
+
+@lru_cache(maxsize=1)
+def get_settings() -> Settings:
+    """Process-wide settings singleton (reference config/__init__.py:487-498)."""
+    return load_settings()
+
+
+def reset_settings() -> None:
+    """Testing hook: drop the cached singleton."""
+    get_settings.cache_clear()
