@@ -1,0 +1,283 @@
+"""Fused similarity-scan + top-k kernels — the TPU replacement for FAISS's
+flat scan (reference: faiss-cpu IndexFlat / IndexIVFFlat search invoked at
+src/pipeline/components/faiss_store.py:113-158).
+
+Design (SURVEY.md section 7.4 item 1, after the TPU-KNN recipe in PAPERS.md):
+
+- The distance computation is a plain MXU matmul: scores = Q @ DB^T in
+  bfloat16 with float32 accumulation — this is where the FLOPs are and it
+  runs at peak when DB is HBM-resident and streamed through VMEM.
+- The top-k selection after the matmul is the bottleneck if done as a sort.
+  The fused Pallas kernel instead keeps an L-bin *partial* top-k per query
+  (bin = column mod L, running (max, argmax) per bin, updated chunk by
+  chunk while the next chunk DMAs in). Collisions of two true top-k items
+  in one bin are the only recall loss; with L = oversample*k bins the loss
+  is negligible (L=128, k=10, 1M rows -> recall@10 ~ 0.97; L=512 -> >0.99).
+  A final exact `lax.top_k` over the L survivors yields the result.
+- Exact mode is a chunked XLA scan with running top-k merge (used as the
+  oracle and for small corpora).
+- Multi-chip: the database is row-sharded over the `dp` mesh axis; each
+  shard computes its local top-k and a single all-gather of k*(dp) UIDs +
+  scores merges on every device (rides ICI, tiny payload).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.shard_map import shard_map
+from jax.sharding import PartitionSpec as P
+
+from ..core.mesh import DP_AXIS, MeshContext
+
+NEG_INF = -3.0e38  # plain float: jnp scalars would be captured as consts in Pallas
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Exact top-k (XLA): chunked scan with running merge. Oracle + small corpora.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "metric"))
+def exact_topk(
+    queries: jax.Array,
+    db: jax.Array,
+    k: int,
+    *,
+    chunk: int = 131072,
+    metric: str = "ip",
+    db_sq_norms: Optional[jax.Array] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k by score. Returns (scores [B,k] f32, indices [B,k] i32).
+
+    metric 'ip' maximizes q.d; 'l2' maximizes 2*q.d - |d|^2 (equivalent to
+    min L2 distance; scores returned are that surrogate).
+    """
+    n, d = db.shape
+    b = queries.shape[0]
+    k = min(k, n)
+    chunk = min(chunk, n)
+    n_chunks = (n + chunk - 1) // chunk
+    n_pad = n_chunks * chunk
+    if n_pad != n:
+        db = jnp.pad(db, ((0, n_pad - n), (0, 0)))
+        if db_sq_norms is not None:
+            db_sq_norms = jnp.pad(
+                db_sq_norms, (0, n_pad - n), constant_values=jnp.inf
+            )
+    if metric == "l2" and db_sq_norms is None:
+        db_sq_norms = jnp.sum(
+            db.astype(jnp.float32) * db.astype(jnp.float32), axis=-1
+        )
+    q = queries.astype(db.dtype)
+
+    def body(carry, i):
+        best_s, best_i = carry
+        rows = jax.lax.dynamic_slice_in_dim(db, i * chunk, chunk, axis=0)
+        s = jnp.dot(q, rows.T, preferred_element_type=jnp.float32)
+        if metric == "l2":
+            norms = jax.lax.dynamic_slice_in_dim(db_sq_norms, i * chunk, chunk)
+            s = 2.0 * s - norms[None, :]
+        # mask padded tail rows of the final chunk
+        gids = i * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        s = jnp.where(gids < n, s, NEG_INF)
+        cs, ci = jax.lax.top_k(s, k)
+        cand_s = jnp.concatenate([best_s, cs], axis=1)
+        cand_i = jnp.concatenate([best_i, (gids[0][ci]).astype(jnp.int32)], axis=1)
+        ms, sel = jax.lax.top_k(cand_s, k)
+        mi = jnp.take_along_axis(cand_i, sel, axis=1)
+        return (ms, mi), None
+
+    init = (
+        jnp.full((b, k), NEG_INF, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+    (scores, idx), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    return scores, idx
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas kernel: matmul + L-bin partial top-k, streamed over DB chunks.
+# ---------------------------------------------------------------------------
+
+
+def _binmax_kernel(q_ref, db_ref, nrows_ref, vals_ref, idxs_ref, *, nbins, chunk):
+    """One grid step: score a DB chunk and fold into running per-bin max.
+
+    q_ref:    [B, D]      queries (VMEM, resident across steps)
+    db_ref:   [chunk, D]  current DB chunk (auto-DMA'd HBM->VMEM)
+    nrows_ref:[1, 1]      SMEM: true (unpadded) DB row count
+    vals_ref: [B, nbins]  output/accumulator: running bin max scores
+    idxs_ref: [B, nbins]  output/accumulator: running bin argmax (global row)
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        vals_ref[:] = jnp.full_like(vals_ref, NEG_INF)
+        idxs_ref[:] = jnp.full_like(idxs_ref, -1)
+
+    # [B, chunk] scores on the MXU; f32 accumulation.
+    s = jax.lax.dot_general(
+        q_ref[:],
+        db_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    b = s.shape[0]
+    rows_per_bin = chunk // nbins
+    # column j -> (r, l): j = r*nbins + l; bin l, in-bin row r.
+    s3 = s.reshape(b, rows_per_bin, nbins)
+    gid = i * chunk + jax.lax.broadcasted_iota(
+        jnp.int32, (b, rows_per_bin, nbins), 1
+    ) * nbins + jax.lax.broadcasted_iota(jnp.int32, (b, rows_per_bin, nbins), 2)
+    s3 = jnp.where(gid < nrows_ref[0, 0], s3, NEG_INF)
+    new_max = jnp.max(s3, axis=1)  # [B, nbins]
+    arg = jnp.argmax(s3, axis=1).astype(jnp.int32)  # [B, nbins] in-bin row r*
+    new_idx = i * chunk + arg * nbins + jax.lax.broadcasted_iota(
+        jnp.int32, (b, nbins), 1
+    )
+    better = new_max > vals_ref[:]
+    vals_ref[:] = jnp.where(better, new_max, vals_ref[:])
+    idxs_ref[:] = jnp.where(better, new_idx, idxs_ref[:])
+
+
+def binmax_partial_topk(
+    queries: jax.Array,
+    db: jax.Array,
+    *,
+    nbins: int = 512,
+    chunk: int = 4096,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Partial top-k: per-query (score, index) of the best row in each of
+    `nbins` column-residue bins. Exact scores; approximate as a top-k set
+    only through bin collisions.
+
+    Returns (vals [B, nbins] f32, idxs [B, nbins] i32), unsorted.
+    """
+    n, d = db.shape
+    b = queries.shape[0]
+    if chunk % nbins != 0:
+        raise ValueError(f"chunk ({chunk}) must be a multiple of nbins ({nbins})")
+    b_pad = _round_up(max(b, 8), 8)
+    n_pad = _round_up(n, chunk)
+    if b_pad != b:
+        queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
+    if n_pad != n:
+        db = jnp.pad(db, ((0, n_pad - n), (0, 0)))
+    q = queries.astype(db.dtype)
+    n_chunks = n_pad // chunk
+    nrows = jnp.array([[n]], dtype=jnp.int32)
+
+    kern = functools.partial(_binmax_kernel, nbins=nbins, chunk=chunk)
+    vals, idxs = pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((b_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b_pad, nbins), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, nbins), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, nbins), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, nbins), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_pad * d,
+            bytes_accessed=n_pad * d * db.dtype.itemsize + b_pad * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, db, nrows)
+    return vals[:b], idxs[:b]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nbins", "chunk", "interpret")
+)
+def fused_topk(
+    queries: jax.Array,
+    db: jax.Array,
+    k: int,
+    *,
+    nbins: int = 512,
+    chunk: int = 4096,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused flat-IP search: Pallas bin-max scan + exact top-k over survivors.
+
+    Recall vs exact is controlled by nbins (>= ~32*k for recall@k ~ 0.99 on
+    1M rows). Returns (scores [B,k] f32, indices [B,k] i32).
+    """
+    vals, idxs = binmax_partial_topk(
+        queries, db, nbins=nbins, chunk=chunk, interpret=interpret
+    )
+    s, sel = jax.lax.top_k(vals, min(k, vals.shape[1]))
+    return s, jnp.take_along_axis(idxs, sel, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Sharded search: DB rows sharded over dp; local scan + all-gather merge.
+# ---------------------------------------------------------------------------
+
+
+def sharded_topk(
+    ctx: MeshContext,
+    queries: jax.Array,
+    db_sharded: jax.Array,
+    k: int,
+    *,
+    use_fused: bool = False,
+    nbins: int = 512,
+    chunk: int = 4096,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k over a dp-row-sharded database.
+
+    Each dp shard scans its local rows (fused Pallas kernel on TPU, exact
+    scan otherwise), then the tiny [dp*k] candidate sets are all-gathered
+    over ICI and merged identically on every device — the collective-based
+    replacement for the reference's HTTP fan-out (SURVEY.md section 2.6).
+    """
+    n_total = db_sharded.shape[0]
+    dp = ctx.dp
+    shard_rows = n_total // dp
+
+    def local(q, db_local):
+        if use_fused:
+            s, i = fused_topk(
+                q, db_local, k, nbins=nbins, chunk=chunk, interpret=interpret
+            )
+        else:
+            s, i = exact_topk(q, db_local, k, chunk=min(chunk * 8, shard_rows))
+        # lift local row ids to global ids
+        shard = jax.lax.axis_index(DP_AXIS)
+        i = i + shard * shard_rows
+        s_all = jax.lax.all_gather(s, DP_AXIS, axis=1, tiled=True)  # [B, dp*k]
+        i_all = jax.lax.all_gather(i, DP_AXIS, axis=1, tiled=True)
+        ms, sel = jax.lax.top_k(s_all, k)
+        return ms, jnp.take_along_axis(i_all, sel, axis=1)
+
+    fn = shard_map(
+        local,
+        mesh=ctx.mesh,
+        in_specs=(P(), P(DP_AXIS)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return fn(queries, db_sharded)

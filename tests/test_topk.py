@@ -1,0 +1,136 @@
+"""Kernel tests vs a numpy brute-force oracle.
+
+The oracle role FAISS played in the reference's harness (SURVEY.md section 4
+item 3 — FAISS mocked in unit tests, real recall measured in the bench
+harness) is played here by numpy exact search; Pallas kernels run in
+interpreter mode on CPU.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rag_inference_pipeline_tpu.ops import (
+    binmax_partial_topk,
+    exact_topk,
+    fused_topk,
+    sharded_topk,
+)
+
+
+def np_topk(q, db, k, metric="ip"):
+    if metric == "ip":
+        s = q.astype(np.float32) @ db.astype(np.float32).T
+    else:
+        s = 2.0 * q.astype(np.float32) @ db.astype(np.float32).T - np.sum(
+            db.astype(np.float32) ** 2, axis=1
+        )
+    idx = np.argsort(-s, axis=1)[:, :k]
+    return np.take_along_axis(s, idx, axis=1), idx
+
+
+@pytest.fixture()
+def data(rng):
+    db = rng.standard_normal((4096, 64)).astype(np.float32)
+    q = rng.standard_normal((5, 64)).astype(np.float32)
+    return q, db
+
+
+class TestExactTopk:
+    def test_matches_oracle_ip(self, data):
+        q, db = data
+        s, i = exact_topk(jnp.asarray(q), jnp.asarray(db), 10, chunk=1024)
+        os_, oi = np_topk(q, db, 10)
+        np.testing.assert_array_equal(np.asarray(i), oi)
+        np.testing.assert_allclose(np.asarray(s), os_, rtol=1e-4)
+
+    def test_matches_oracle_l2(self, data):
+        q, db = data
+        s, i = exact_topk(jnp.asarray(q), jnp.asarray(db), 10, chunk=1000, metric="l2")
+        _, oi = np_topk(q, db, 10, metric="l2")
+        np.testing.assert_array_equal(np.asarray(i), oi)
+
+    def test_unaligned_n(self, rng):
+        db = rng.standard_normal((1003, 32)).astype(np.float32)
+        q = rng.standard_normal((3, 32)).astype(np.float32)
+        s, i = exact_topk(jnp.asarray(q), jnp.asarray(db), 7, chunk=256)
+        _, oi = np_topk(q, db, 7)
+        np.testing.assert_array_equal(np.asarray(i), oi)
+
+    def test_k_clamped_to_n(self, rng):
+        db = rng.standard_normal((5, 16)).astype(np.float32)
+        q = rng.standard_normal((2, 16)).astype(np.float32)
+        s, i = exact_topk(jnp.asarray(q), jnp.asarray(db), 10)
+        assert i.shape == (2, 5)
+
+
+class TestFusedTopk:
+    def test_binmax_scores_are_exact(self, data):
+        q, db = data
+        vals, idxs = binmax_partial_topk(
+            jnp.asarray(q), jnp.asarray(db), nbins=128, chunk=512, interpret=True
+        )
+        s_full = q @ db.T
+        v = np.asarray(vals)
+        ix = np.asarray(idxs)
+        # every reported (idx, val) pair must be a true (row, score) pair,
+        # and must be the max within its residue bin
+        for b in range(q.shape[0]):
+            for l in range(128):
+                row = ix[b, l]
+                assert row % 128 == l
+                np.testing.assert_allclose(v[b, l], s_full[b, row], rtol=1e-3)
+                bin_rows = np.arange(l, db.shape[0], 128)
+                assert v[b, l] >= s_full[b, bin_rows].max() - 1e-3
+
+    def test_fused_high_recall(self, rng):
+        db = rng.standard_normal((8192, 64)).astype(np.float32)
+        q = rng.standard_normal((8, 64)).astype(np.float32)
+        k = 10
+        s, i = fused_topk(
+            jnp.asarray(q), jnp.asarray(db), k, nbins=512, chunk=1024, interpret=True
+        )
+        _, oi = np_topk(q, db, k)
+        recall = np.mean(
+            [len(set(np.asarray(i)[b]) & set(oi[b])) / k for b in range(len(q))]
+        )
+        assert recall >= 0.95
+
+    def test_fused_unaligned_batch_and_n(self, rng):
+        db = rng.standard_normal((1000, 32)).astype(np.float32)
+        q = rng.standard_normal((3, 32)).astype(np.float32)
+        s, i = fused_topk(
+            jnp.asarray(q), jnp.asarray(db), 5, nbins=128, chunk=256, interpret=True
+        )
+        assert i.shape == (3, 5)
+        assert int(np.asarray(i).max()) < 1000
+        # top-1 is always exact under bin-max (no collision can hide the max)
+        _, oi = np_topk(q, db, 1)
+        np.testing.assert_array_equal(np.asarray(i)[:, :1], oi)
+
+
+class TestShardedTopk:
+    def test_matches_oracle_on_mesh(self, rng, mesh_dp8):
+        db = rng.standard_normal((4096, 64)).astype(np.float32)
+        q = rng.standard_normal((4, 64)).astype(np.float32)
+        dbj = mesh_dp8.put(jnp.asarray(db), mesh_dp8.rows_dp)
+        qj = mesh_dp8.put(jnp.asarray(q))
+        s, i = sharded_topk(mesh_dp8, qj, dbj, 10)
+        _, oi = np_topk(q, db, 10)
+        np.testing.assert_array_equal(np.asarray(i), oi)
+
+    def test_sharded_fused(self, rng, mesh_dp8):
+        db = rng.standard_normal((8192, 64)).astype(np.float32)
+        q = rng.standard_normal((4, 64)).astype(np.float32)
+        dbj = mesh_dp8.put(jnp.asarray(db), mesh_dp8.rows_dp)
+        qj = mesh_dp8.put(jnp.asarray(q))
+        s, i = sharded_topk(
+            mesh_dp8, qj, dbj, 10, use_fused=True, nbins=256, chunk=256,
+            interpret=True,
+        )
+        _, oi = np_topk(q, db, 10)
+        k = 10
+        recall = np.mean(
+            [len(set(np.asarray(i)[b]) & set(oi[b])) / k for b in range(len(q))]
+        )
+        assert recall >= 0.9
