@@ -1,0 +1,37 @@
+from .base import BaseIndex
+from .flat import FlatIndex
+from .ivf_flat import IVFFlatIndex
+from .ivf_pq import IVFPQIndex
+
+
+def make_index(settings, mesh=None) -> BaseIndex:
+    """Settings -> index instance (component-factory hook)."""
+    from ..core.enums import IndexKind
+
+    kind = settings.index_kind
+    if kind is IndexKind.FLAT:
+        return FlatIndex(
+            settings.index_dim,
+            metric=settings.index_metric,
+            dtype=settings.index_dtype,
+            mesh=mesh,
+        )
+    if kind is IndexKind.IVF_FLAT:
+        return IVFFlatIndex(
+            settings.index_dim,
+            settings.index_nlist,
+            metric=settings.index_metric,
+            nprobe=settings.index_nprobe,
+            dtype=settings.index_dtype,
+            mesh=mesh,
+        )
+    return IVFPQIndex(
+        settings.index_dim,
+        settings.index_nlist,
+        settings.index_pq_m,
+        nprobe=settings.index_nprobe,
+        mesh=mesh,
+    )
+
+
+__all__ = ["BaseIndex", "FlatIndex", "IVFFlatIndex", "IVFPQIndex", "make_index"]

@@ -1,0 +1,141 @@
+"""Exact flat index, HBM-resident, optionally dp-sharded over the mesh.
+
+The TPU equivalent of faiss IndexFlatIP/L2 (reference builds IndexFlatL2 as
+the IVF quantizer, create_test_docs.py:84-90). Search uses the fused Pallas
+bin-max kernel on TPU (exact scores, ~0.99 recall as a top-k set) or the
+exact XLA scan (oracle / CPU).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.mesh import MeshContext
+from ..ops.topk import exact_topk, fused_topk, sharded_topk
+from .base import BaseIndex, save_npz, storage_dtype
+
+
+class FlatIndex(BaseIndex):
+    kind = "flat"
+
+    def __init__(
+        self,
+        dim: int,
+        *,
+        metric: str = "ip",
+        dtype: str = "bfloat16",
+        mesh: Optional[MeshContext] = None,
+        use_fused: Optional[bool] = None,
+        nbins: int = 512,
+        chunk: int = 4096,
+    ) -> None:
+        super().__init__(dim, metric)
+        self.dtype_name = dtype
+        self.mesh = mesh
+        self.nbins = nbins
+        self.chunk = chunk
+        if use_fused is None:
+            use_fused = jax.default_backend() not in ("cpu",)
+        self.use_fused = use_fused
+        self._db: Optional[jax.Array] = None
+        self._db_sq: Optional[jax.Array] = None
+
+    # -- build ------------------------------------------------------------
+    def add(self, vectors: np.ndarray) -> None:
+        """Ingest rows (appends). Host -> device transfer happens here."""
+        v = np.asarray(vectors)
+        if v.ndim != 2 or v.shape[1] != self.dim:
+            raise ValueError(f"vectors must be [N, {self.dim}], got {v.shape}")
+        dt = storage_dtype(self.dtype_name)
+        new = jnp.asarray(v, dt)
+        if self._db is None:
+            db = new
+        else:
+            db = jnp.concatenate([self._db[: self.ntotal], new])
+        self._set_db(db)
+
+    def _set_db(self, db: jax.Array) -> None:
+        if self.mesh is not None and self.mesh.dp > 1:
+            # pad rows to a dp multiple for even sharding; padding rows are
+            # masked out by NEG_INF in the sharded kernels via ntotal
+            dp = self.mesh.dp
+            n = db.shape[0]
+            n_pad = ((n + dp - 1) // dp) * dp
+            if n_pad != n:
+                db = jnp.concatenate(
+                    [db, jnp.zeros((n_pad - n, self.dim), db.dtype)]
+                )
+            self._db = self.mesh.put(db, self.mesh.rows_dp)
+            self.ntotal = n
+        else:
+            self._db = jax.device_put(db)
+            self.ntotal = db.shape[0]
+        if self.metric == "l2":
+            dbf = self._db.astype(jnp.float32)
+            self._db_sq = jnp.sum(dbf * dbf, axis=-1)
+        self._loaded = True
+
+    # -- search -----------------------------------------------------------
+    def search(self, queries, k: int):
+        if not self._loaded:
+            raise RuntimeError("flat index not loaded")
+        q = self.validate_queries(queries)
+        if self.mesh is not None and self.mesh.dp > 1:
+            s, i = sharded_topk(
+                self.mesh,
+                q,
+                self._db,
+                k,
+                use_fused=self.use_fused and self.metric == "ip",
+                nbins=self.nbins,
+                chunk=self.chunk,
+            )
+            # clamp ids of zero-padded shard rows
+            valid = i < self.ntotal
+            return jnp.where(valid, s, -jnp.inf), jnp.where(valid, i, -1)
+        if self.use_fused and self.metric == "ip":
+            return fused_topk(q, self._db, k, nbins=self.nbins, chunk=self.chunk)
+        return exact_topk(
+            q, self._db, k, metric=self.metric, db_sq_norms=self._db_sq
+        )
+
+    def reconstruct(self, ids) -> jax.Array:
+        """Fetch stored vectors by row id (for PQ re-score / debugging)."""
+        return jnp.take(self._db, jnp.asarray(ids), axis=0)
+
+    # -- persistence --------------------------------------------------------
+    def save(self, path: str) -> None:
+        if not self._loaded:
+            raise RuntimeError("nothing to save")
+        save_npz(
+            path,
+            kind=self.kind,
+            dim=self.dim,
+            metric=self.metric,
+            dtype=self.dtype_name,
+            vectors=np.asarray(
+                jax.device_get(self._db[: self.ntotal]), dtype=np.float32
+            ),
+        )
+
+    @classmethod
+    def _load(cls, path: str, mesh: Optional[MeshContext] = None) -> "FlatIndex":
+        with np.load(path, allow_pickle=False) as z:
+            idx = cls(
+                int(z["dim"]),
+                metric=str(z["metric"]),
+                dtype=str(z["dtype"]),
+                mesh=mesh,
+            )
+            idx.add(z["vectors"])
+        return idx
+
+    def unload(self) -> None:
+        self._db = None
+        self._db_sq = None
+        self._loaded = False
+        self.ntotal = 0

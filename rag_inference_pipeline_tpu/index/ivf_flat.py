@@ -1,0 +1,127 @@
+"""IVF-Flat index: on-TPU trained coarse quantizer + bucketed HBM lists.
+
+Parity target: faiss IndexIVFFlat with runtime-settable nprobe
+(reference faiss_store.py:84-92). Train/assign run on device
+(BASELINE.json configs[2]); list layout is built host-side.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.mesh import MeshContext
+from ..ops.ivf import IVFListing, build_ivf, ivf_search
+from .base import BaseIndex, save_npz, storage_dtype
+
+
+class IVFFlatIndex(BaseIndex):
+    kind = "ivf_flat"
+
+    def __init__(
+        self,
+        dim: int,
+        nlist: int,
+        *,
+        metric: str = "ip",
+        nprobe: int = 64,
+        dtype: str = "bfloat16",
+        cap_factor: float = 1.5,
+        mesh: Optional[MeshContext] = None,
+    ) -> None:
+        super().__init__(dim, metric)
+        self.nlist = nlist
+        self.nprobe = nprobe
+        self.dtype_name = dtype
+        self.cap_factor = cap_factor
+        self.mesh = mesh
+        self._listing: Optional[IVFListing] = None
+
+    def train_add(
+        self,
+        vectors: np.ndarray,
+        *,
+        train_size: int = 131072,
+        iters: int = 15,
+        seed: int = 0,
+    ) -> None:
+        """k-means train + assign + bucket build in one shot."""
+        v = np.asarray(vectors, np.float32)
+        if v.ndim != 2 or v.shape[1] != self.dim:
+            raise ValueError(f"vectors must be [N, {self.dim}], got {v.shape}")
+        self._listing = build_ivf(
+            jax.random.key(seed),
+            v,
+            self.nlist,
+            train_size=train_size,
+            iters=iters,
+            cap_factor=self.cap_factor,
+            storage_dtype=storage_dtype(self.dtype_name),
+        )
+        self.ntotal = v.shape[0]
+        self._loaded = True
+
+    def search(self, queries, k: int):
+        if not self._loaded:
+            raise RuntimeError("ivf_flat index not loaded")
+        q = self.validate_queries(queries)
+        return ivf_search(
+            self._listing, q, k, nprobe=self.nprobe, metric=self.metric
+        )
+
+    @property
+    def imbalance(self) -> float:
+        """max/mean list size — diagnostic for k-means balance quality."""
+        sizes = np.asarray(self._listing.list_sizes)
+        return float(sizes.max() / max(1.0, sizes.mean()))
+
+    def save(self, path: str) -> None:
+        if not self._loaded:
+            raise RuntimeError("nothing to save")
+        l = self._listing
+        save_npz(
+            path,
+            kind=self.kind,
+            dim=self.dim,
+            metric=self.metric,
+            dtype=self.dtype_name,
+            nlist=self.nlist,
+            nprobe=self.nprobe,
+            ntotal=self.ntotal,
+            cap_factor=self.cap_factor,
+            centroids=np.asarray(l.centroids, np.float32),
+            buckets=np.asarray(l.buckets, np.float32),
+            ids=np.asarray(l.ids),
+            list_sizes=np.asarray(l.list_sizes),
+        )
+
+    @classmethod
+    def _load(cls, path: str, mesh: Optional[MeshContext] = None) -> "IVFFlatIndex":
+        with np.load(path, allow_pickle=False) as z:
+            idx = cls(
+                int(z["dim"]),
+                int(z["nlist"]),
+                metric=str(z["metric"]),
+                nprobe=int(z["nprobe"]),
+                dtype=str(z["dtype"]),
+                cap_factor=float(z["cap_factor"]),
+                mesh=mesh,
+            )
+            dt = storage_dtype(idx.dtype_name)
+            idx._listing = IVFListing(
+                centroids=jnp.asarray(z["centroids"], jnp.float32),
+                buckets=jnp.asarray(z["buckets"], dt),
+                ids=jnp.asarray(z["ids"]),
+                list_sizes=jnp.asarray(z["list_sizes"]),
+            )
+            idx.ntotal = int(z["ntotal"])
+            idx._loaded = True
+        return idx
+
+    def unload(self) -> None:
+        self._listing = None
+        self._loaded = False
+        self.ntotal = 0

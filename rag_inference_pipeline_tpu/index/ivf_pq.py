@@ -1,0 +1,158 @@
+"""IVF-PQ index: residual product quantization over the bucketed IVF layout,
+with optional exact re-score of the ADC shortlist against full-precision
+vectors (BASELINE.json configs[3]).
+
+Parity target: faiss IndexIVFPQ with precomputed tables
+(reference faiss_store.py:96-100).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.mesh import MeshContext
+from ..ops.pq import IVFPQListing, build_ivfpq, ivfpq_search
+from ..ops.topk import NEG_INF
+from .base import BaseIndex, save_npz
+
+
+class IVFPQIndex(BaseIndex):
+    kind = "ivf_pq"
+
+    def __init__(
+        self,
+        dim: int,
+        nlist: int,
+        m: int,
+        *,
+        nprobe: int = 64,
+        cap_factor: float = 1.5,
+        rescore_k: int = 0,
+        mesh: Optional[MeshContext] = None,
+    ) -> None:
+        super().__init__(dim, "ip")  # residual-ADC path is IP-metric
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by pq m {m}")
+        self.nlist = nlist
+        self.m = m
+        self.nprobe = nprobe
+        self.cap_factor = cap_factor
+        # rescore_k > 0: keep full vectors and exactly re-score the top
+        # rescore_k ADC candidates before cutting to k
+        self.rescore_k = rescore_k
+        self.mesh = mesh
+        self._listing: Optional[IVFPQListing] = None
+        self._vectors: Optional[jax.Array] = None  # only when rescore_k > 0
+
+    def train_add(
+        self,
+        vectors: np.ndarray,
+        *,
+        train_size: int = 131072,
+        kmeans_iters: int = 15,
+        pq_iters: int = 12,
+        seed: int = 0,
+    ) -> None:
+        v = np.asarray(vectors, np.float32)
+        if v.ndim != 2 or v.shape[1] != self.dim:
+            raise ValueError(f"vectors must be [N, {self.dim}], got {v.shape}")
+        self._listing = build_ivfpq(
+            jax.random.key(seed),
+            v,
+            self.nlist,
+            self.m,
+            train_size=train_size,
+            kmeans_iters=kmeans_iters,
+            pq_iters=pq_iters,
+            cap_factor=self.cap_factor,
+        )
+        if self.rescore_k > 0:
+            self._vectors = jnp.asarray(v, jnp.bfloat16)
+        self.ntotal = v.shape[0]
+        self._loaded = True
+
+    def search(self, queries, k: int):
+        if not self._loaded:
+            raise RuntimeError("ivf_pq index not loaded")
+        q = self.validate_queries(queries)
+        if self.rescore_k and self._vectors is not None:
+            shortlist = max(k, self.rescore_k)
+            s, i = ivfpq_search(self._listing, q, shortlist, nprobe=self.nprobe)
+            return _exact_rescore(q, self._vectors, s, i, k)
+        return ivfpq_search(self._listing, q, k, nprobe=self.nprobe)
+
+    def save(self, path: str) -> None:
+        if not self._loaded:
+            raise RuntimeError("nothing to save")
+        l = self._listing
+        extra = {}
+        if self._vectors is not None:
+            extra["vectors"] = np.asarray(self._vectors, np.float32)
+        save_npz(
+            path,
+            kind=self.kind,
+            dim=self.dim,
+            nlist=self.nlist,
+            m=self.m,
+            nprobe=self.nprobe,
+            ntotal=self.ntotal,
+            cap_factor=self.cap_factor,
+            rescore_k=self.rescore_k,
+            centroids=np.asarray(l.centroids, np.float32),
+            codebooks=np.asarray(l.codebooks, np.float32),
+            code_buckets=np.asarray(l.code_buckets),
+            ids=np.asarray(l.ids),
+            list_sizes=np.asarray(l.list_sizes),
+            **extra,
+        )
+
+    @classmethod
+    def _load(cls, path: str, mesh: Optional[MeshContext] = None) -> "IVFPQIndex":
+        with np.load(path, allow_pickle=False) as z:
+            idx = cls(
+                int(z["dim"]),
+                int(z["nlist"]),
+                int(z["m"]),
+                nprobe=int(z["nprobe"]),
+                cap_factor=float(z["cap_factor"]),
+                rescore_k=int(z["rescore_k"]),
+                mesh=mesh,
+            )
+            idx._listing = IVFPQListing(
+                centroids=jnp.asarray(z["centroids"], jnp.float32),
+                codebooks=jnp.asarray(z["codebooks"], jnp.float32),
+                code_buckets=jnp.asarray(z["code_buckets"]),
+                ids=jnp.asarray(z["ids"]),
+                list_sizes=jnp.asarray(z["list_sizes"]),
+            )
+            if "vectors" in z:
+                idx._vectors = jnp.asarray(z["vectors"], jnp.bfloat16)
+            idx.ntotal = int(z["ntotal"])
+            idx._loaded = True
+        return idx
+
+    def unload(self) -> None:
+        self._listing = None
+        self._vectors = None
+        self._loaded = False
+        self.ntotal = 0
+
+
+@jax.jit
+def _rescore_kernel(q, vectors, ids):
+    cand = jnp.take(vectors, jnp.clip(ids, 0), axis=0)  # [B, S, D]
+    s = jnp.einsum(
+        "bsd,bd->bs", cand, q.astype(cand.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.where(ids >= 0, s, NEG_INF)
+
+
+def _exact_rescore(q, vectors, adc_scores, ids, k: int):
+    s = _rescore_kernel(q, vectors, ids)
+    top_s, sel = jax.lax.top_k(s, min(k, s.shape[1]))
+    return top_s, jnp.take_along_axis(ids, sel, axis=1)

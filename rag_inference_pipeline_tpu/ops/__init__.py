@@ -1,6 +1,34 @@
+from .ivf import IVFListing, build_ivf, build_ivf_listing, ivf_search
+from .kmeans import assign_clusters, kmeans
+from .pq import (
+    IVFPQListing,
+    adc_lookup_sum,
+    build_ivfpq,
+    ivfpq_search,
+    pq_decode,
+    pq_encode,
+    pq_lut,
+    pq_topk,
+    train_pq,
+)
 from .topk import binmax_partial_topk, exact_topk, fused_topk, sharded_topk
 
 __all__ = [
+    "IVFListing",
+    "build_ivf",
+    "build_ivf_listing",
+    "ivf_search",
+    "assign_clusters",
+    "kmeans",
+    "IVFPQListing",
+    "adc_lookup_sum",
+    "build_ivfpq",
+    "ivfpq_search",
+    "pq_decode",
+    "pq_encode",
+    "pq_lut",
+    "pq_topk",
+    "train_pq",
     "binmax_partial_topk",
     "exact_topk",
     "fused_topk",

@@ -1,0 +1,165 @@
+"""IVF-Flat on TPU: cluster-bucketed database layout + two-stage search.
+
+Replaces faiss IndexIVFFlat (reference: faiss_store.py:84-107 sets nprobe and
+precompute tables; search at :152). TPU-first design (SURVEY.md section 7.4
+items 2/5):
+
+- XLA needs static shapes, so inverted lists are a *padded dense tensor*
+  [nlist, cap, D] with an id map [nlist, cap] (-1 = padding), not CSR.
+  Vectors that overflow a full list cascade to their next-nearest centroid
+  (build is host-side numpy — index build parity with faiss's CPU add()).
+- Search: coarse scan is a small MXU matmul over centroids -> top-nprobe;
+  then probed buckets are gathered from HBM and scored as one batched
+  einsum; padding masked; exact top-k over the nprobe*cap candidates.
+- The bucketed layout trades <= `cap_factor` memory padding for zero
+  dynamic shapes; balanced k-means keeps the overhead small.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kmeans import assign_clusters
+from .topk import NEG_INF
+
+
+class IVFListing(NamedTuple):
+    """Device-resident bucketed IVF layout."""
+
+    centroids: jax.Array  # [nlist, D] f32
+    buckets: jax.Array  # [nlist, cap, D] storage dtype, zero-padded
+    ids: jax.Array  # [nlist, cap] i32, -1 = padding
+    list_sizes: jax.Array  # [nlist] i32
+
+
+def build_ivf_listing(
+    x: np.ndarray,
+    centroids: np.ndarray,
+    assignments: np.ndarray,
+    *,
+    cap_factor: float = 1.5,
+    storage_dtype=jnp.bfloat16,
+) -> IVFListing:
+    """Host-side list construction from a device-computed assignment.
+
+    Overflowing vectors cascade to the nearest centroid with free capacity
+    so every row is indexed exactly once and cap stays ~cap_factor * mean.
+    """
+    n, d = x.shape
+    nlist = centroids.shape[0]
+    cap = int(np.ceil(cap_factor * n / nlist))
+    cap = max(1, cap)
+    ids = np.full((nlist, cap), -1, np.int32)
+    sizes = np.zeros(nlist, np.int32)
+    overflow: list[int] = []
+    for row in range(n):
+        c = assignments[row]
+        if sizes[c] < cap:
+            ids[c, sizes[c]] = row
+            sizes[c] += 1
+        else:
+            overflow.append(row)
+    if overflow:
+        ov = np.asarray(overflow)
+        # distance of overflow rows to all centroids, nearest-first cascade
+        d2 = (
+            -2.0 * x[ov].astype(np.float32) @ centroids.T.astype(np.float32)
+            + np.sum(centroids.astype(np.float32) ** 2, axis=1)[None, :]
+        )
+        order = np.argsort(d2, axis=1)
+        for i, row in enumerate(ov):
+            for c in order[i]:
+                if sizes[c] < cap:
+                    ids[c, sizes[c]] = row
+                    sizes[c] += 1
+                    break
+            else:  # pragma: no cover — cap_factor >= 1 makes this impossible
+                raise RuntimeError("IVF build: no capacity left anywhere")
+    buckets = np.zeros((nlist, cap, d), np.float32)
+    mask = ids >= 0
+    buckets[mask] = x[ids[mask]]
+    return IVFListing(
+        centroids=jnp.asarray(centroids, jnp.float32),
+        buckets=jnp.asarray(buckets, storage_dtype),
+        ids=jnp.asarray(ids),
+        list_sizes=jnp.asarray(sizes),
+    )
+
+
+def build_ivf(
+    key: jax.Array,
+    x_host: np.ndarray,
+    nlist: int,
+    *,
+    train_size: int = 131072,
+    iters: int = 15,
+    cap_factor: float = 1.5,
+    storage_dtype=jnp.bfloat16,
+) -> IVFListing:
+    """Full IVF build: on-TPU k-means train + assign, host list layout."""
+    from .kmeans import kmeans
+
+    n = x_host.shape[0]
+    sel = np.random.default_rng(0).choice(n, size=min(train_size, n), replace=False)
+    x_train = jnp.asarray(x_host[sel], jnp.float32)
+    centroids, _ = kmeans(key, x_train, nlist, iters=iters)
+    assignments = np.asarray(
+        assign_clusters(jnp.asarray(x_host, jnp.float32), centroids)
+    )
+    return build_ivf_listing(
+        x_host,
+        np.asarray(centroids),
+        assignments,
+        cap_factor=cap_factor,
+        storage_dtype=storage_dtype,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
+def ivf_search(
+    listing: IVFListing,
+    queries: jax.Array,
+    k: int,
+    *,
+    nprobe: int = 64,
+    metric: str = "ip",
+) -> tuple[jax.Array, jax.Array]:
+    """IVF search. Returns (scores [B,k] f32, global row ids [B,k] i32).
+
+    Stage 1: coarse centroid scan (MXU) -> top-nprobe lists per query.
+    Stage 2: gather probed buckets, one batched einsum, mask padding,
+    exact top-k over nprobe*cap candidates.
+    """
+    nlist, cap, d = listing.buckets.shape
+    nprobe = min(nprobe, nlist)
+    b = queries.shape[0]
+    qf = queries.astype(jnp.float32)
+
+    c = listing.centroids
+    coarse = jnp.dot(qf, c.T, preferred_element_type=jnp.float32)
+    if metric == "l2":
+        coarse = 2.0 * coarse - jnp.sum(c * c, axis=1)[None, :]
+    _, probe = jax.lax.top_k(coarse, nprobe)  # [B, nprobe]
+
+    bucket_vecs = listing.buckets[probe]  # [B, nprobe, cap, D] gather
+    bucket_ids = listing.ids[probe]  # [B, nprobe, cap]
+    qd = qf.astype(listing.buckets.dtype)
+    s = jnp.einsum(
+        "bpcd,bd->bpc", bucket_vecs, qd, preferred_element_type=jnp.float32
+    )
+    if metric == "l2":
+        sq = jnp.sum(
+            bucket_vecs.astype(jnp.float32) ** 2, axis=-1
+        )
+        s = 2.0 * s - sq
+    s = jnp.where(bucket_ids >= 0, s, NEG_INF)
+    flat_s = s.reshape(b, nprobe * cap)
+    flat_i = bucket_ids.reshape(b, nprobe * cap)
+    k_eff = min(k, nprobe * cap)
+    top_s, sel = jax.lax.top_k(flat_s, k_eff)
+    return top_s, jnp.take_along_axis(flat_i, sel, axis=1)

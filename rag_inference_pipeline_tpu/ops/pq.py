@@ -1,0 +1,271 @@
+"""Product quantization on TPU: codebook training, encoding, ADC scans.
+
+Replaces faiss IndexIVFPQ (reference enables IVFPQ precomputed tables at
+faiss_store.py:96-100). TPU-first choices (SURVEY.md section 7.4 item 2):
+
+- Codebook training is 256-way k-means per subspace, vmapped over all M
+  subspaces at once — one fused XLA program instead of M CPU loops.
+- ADC lookup uses a flattened (m, code) -> m*256+code index so the scan is
+  a single `take_along_axis` gather per chunk from a [M*256] LUT per query
+  (VPU-friendly), summed over subspaces.
+- IVF-PQ uses residual encoding with the IP-metric identity
+  score = q.c_probe + q.residual, so LUTs are per-query only (no
+  per-(query, cluster) tables on the hot path); L2 adds the precomputed
+  cluster-code cross terms, the analog of faiss's precomputed tables.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kmeans import kmeans
+from .topk import NEG_INF
+
+
+def _split_subspaces(x: jax.Array, m: int) -> jax.Array:
+    n, d = x.shape
+    return x.reshape(n, m, d // m).transpose(1, 0, 2)  # [M, N, ds]
+
+
+@functools.partial(jax.jit, static_argnames=("m", "iters"))
+def train_pq(
+    key: jax.Array, x: jax.Array, m: int, *, iters: int = 12
+) -> jax.Array:
+    """Train per-subspace codebooks. Returns [M, 256, ds] f32."""
+    xs = _split_subspaces(x.astype(jnp.float32), m)
+    keys = jax.random.split(key, m)
+
+    def one(k_i, x_i):
+        cb, _ = kmeans(k_i, x_i, 256, iters=iters, chunk=16384)
+        return cb
+
+    return jax.vmap(one)(keys, xs)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def pq_encode(
+    x: jax.Array, codebooks: jax.Array, *, chunk: int = 65536
+) -> jax.Array:
+    """Encode rows to PQ codes. Returns [N, M] uint8."""
+    n, d = x.shape
+    m, c, ds = codebooks.shape
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    xp = jnp.pad(x, ((0, n_pad - n), (0, 0))) if n_pad != n else x
+    cb = codebooks.astype(jnp.float32)
+    cb_sq = jnp.sum(cb * cb, axis=-1)  # [M, 256]
+
+    def body(_, xc):
+        xs = xc.astype(jnp.float32).reshape(chunk, m, ds).transpose(1, 0, 2)
+        s = 2.0 * jnp.einsum(
+            "mnd,mcd->mnc", xs, cb, preferred_element_type=jnp.float32
+        ) - cb_sq[:, None, :]
+        return None, jnp.argmax(s, axis=-1).astype(jnp.uint8).T  # [chunk, M]
+
+    _, codes = jax.lax.scan(body, None, xp.reshape(-1, chunk, d))
+    return codes.reshape(-1, m)[:n]
+
+
+def pq_decode(codes: jax.Array, codebooks: jax.Array) -> jax.Array:
+    """Reconstruct vectors from codes: [N, M] -> [N, D] f32."""
+    m = codes.shape[1]
+    parts = codebooks[jnp.arange(m)[None, :], codes.astype(jnp.int32)]  # [N,M,ds]
+    return parts.reshape(codes.shape[0], -1)
+
+
+def pq_lut(queries: jax.Array, codebooks: jax.Array) -> jax.Array:
+    """Per-query IP lookup tables, flattened: [B, M*256] f32.
+
+    lut[b, m*256 + c] = q_b[sub m] . codebook[m, c]
+    """
+    b = queries.shape[0]
+    m, _, ds = codebooks.shape
+    qs = queries.astype(jnp.float32).reshape(b, m, ds)
+    lut = jnp.einsum(
+        "bmd,mcd->bmc", qs, codebooks.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return lut.reshape(b, m * 256)
+
+
+def adc_lookup_sum(lut_flat: jax.Array, codes: jax.Array) -> jax.Array:
+    """ADC: sum LUT entries selected by codes.
+
+    lut_flat [B, M*256]; codes [..., M] uint8 -> scores [B, ...] f32.
+    """
+    m = codes.shape[-1]
+    lead = codes.shape[:-1]
+    base = (jnp.arange(m, dtype=jnp.int32) * 256)[None, :]
+    idx = (codes.astype(jnp.int32).reshape(-1, m) + base).reshape(-1)  # [F*M]
+    g = jnp.take(lut_flat, idx, axis=1)  # [B, F*M]
+    return g.reshape(lut_flat.shape[0], *lead, m).sum(axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def pq_topk(
+    queries: jax.Array,
+    codes: jax.Array,
+    codebooks: jax.Array,
+    k: int,
+    *,
+    chunk: int = 32768,
+) -> tuple[jax.Array, jax.Array]:
+    """Flat PQ search (IP): chunked ADC scan with running top-k merge."""
+    n, m = codes.shape
+    b = queries.shape[0]
+    k = min(k, n)
+    chunk = min(chunk, n)
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    cp = jnp.pad(codes, ((0, n_pad - n), (0, 0))) if n_pad != n else codes
+    lut = pq_lut(queries, codebooks)
+
+    def body(carry, i):
+        bs, bi = carry
+        cc = jax.lax.dynamic_slice_in_dim(cp, i * chunk, chunk, axis=0)
+        s = adc_lookup_sum(lut, cc)  # [B, chunk]
+        gids = i * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        s = jnp.where(gids < n, s, NEG_INF)
+        cs, ci = jax.lax.top_k(s, k)
+        cand_s = jnp.concatenate([bs, cs], axis=1)
+        cand_i = jnp.concatenate([bi, gids[0][ci].astype(jnp.int32)], axis=1)
+        ms, sel = jax.lax.top_k(cand_s, k)
+        return (ms, jnp.take_along_axis(cand_i, sel, axis=1)), None
+
+    init = (
+        jnp.full((b, k), NEG_INF, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+    (s, i), _ = jax.lax.scan(body, init, jnp.arange(n_pad // chunk))
+    return s, i
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer + residual PQ codes in the bucketed IVF layout.
+# ---------------------------------------------------------------------------
+
+
+class IVFPQListing(NamedTuple):
+    centroids: jax.Array  # [nlist, D] f32
+    codebooks: jax.Array  # [M, 256, ds] f32 (residual space)
+    code_buckets: jax.Array  # [nlist, cap, M] uint8
+    ids: jax.Array  # [nlist, cap] i32, -1 = padding
+    list_sizes: jax.Array  # [nlist] i32
+
+
+def build_ivfpq(
+    key: jax.Array,
+    x_host: np.ndarray,
+    nlist: int,
+    m: int,
+    *,
+    train_size: int = 131072,
+    kmeans_iters: int = 15,
+    pq_iters: int = 12,
+    cap_factor: float = 1.5,
+) -> IVFPQListing:
+    """IVF-PQ build: coarse k-means, residual PQ training, bucketed codes."""
+    from .ivf import build_ivf_listing
+    from .kmeans import assign_clusters
+
+    n, d = x_host.shape
+    rng = np.random.default_rng(0)
+    sel = rng.choice(n, size=min(train_size, n), replace=False)
+    kc, kp = jax.random.split(key)
+    centroids, _ = kmeans(
+        kc, jnp.asarray(x_host[sel], jnp.float32), nlist, iters=kmeans_iters
+    )
+    assignments = np.asarray(
+        assign_clusters(jnp.asarray(x_host, jnp.float32), centroids)
+    )
+    cent_np = np.asarray(centroids)
+    residuals = x_host.astype(np.float32) - cent_np[assignments]
+    codebooks = train_pq(
+        kp, jnp.asarray(residuals[sel[: min(train_size, n)]]), m, iters=pq_iters
+    )
+    codes = np.asarray(pq_encode(jnp.asarray(residuals), codebooks))
+
+    # reuse the flat IVF bucket builder for the id layout, then scatter codes
+    flat = build_ivf_listing(
+        x_host, cent_np, assignments, cap_factor=cap_factor,
+        storage_dtype=jnp.bfloat16,
+    )
+    ids_np = np.asarray(flat.ids)
+    cap = ids_np.shape[1]
+    code_buckets = np.zeros((nlist, cap, m), np.uint8)
+    mask = ids_np >= 0
+    code_buckets[mask] = codes[ids_np[mask]]
+    return IVFPQListing(
+        centroids=flat.centroids,
+        codebooks=codebooks,
+        code_buckets=jnp.asarray(code_buckets),
+        ids=flat.ids,
+        list_sizes=flat.list_sizes,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "probe_chunk"))
+def ivfpq_search(
+    listing: IVFPQListing,
+    queries: jax.Array,
+    k: int,
+    *,
+    nprobe: int = 64,
+    probe_chunk: int = 8,
+) -> tuple[jax.Array, jax.Array]:
+    """IVF-PQ search (IP metric, residual codes).
+
+    score(q, x in list p) ~= q.centroid_p + ADC(q, residual codes). Probed
+    lists are scored in `probe_chunk` blocks to bound the gather working set.
+    Returns (scores [B,k] f32, ids [B,k] i32).
+    """
+    nlist, cap, m = listing.code_buckets.shape
+    nprobe = min(nprobe, nlist)
+    nprobe = ((nprobe + probe_chunk - 1) // probe_chunk) * probe_chunk
+    nprobe = min(nprobe, nlist)
+    b = queries.shape[0]
+    qf = queries.astype(jnp.float32)
+
+    coarse = jnp.dot(
+        qf, listing.centroids.T, preferred_element_type=jnp.float32
+    )  # [B, nlist]
+    coarse_s, probe = jax.lax.top_k(coarse, nprobe)  # both [B, nprobe]
+    lut = pq_lut(qf, listing.codebooks)  # [B, M*256]
+
+    k_eff = min(k, nprobe * cap)
+
+    def body(carry, pi):
+        bs, bi = carry
+        pr = jax.lax.dynamic_slice_in_dim(probe, pi * probe_chunk, probe_chunk, 1)
+        cs = jax.lax.dynamic_slice_in_dim(coarse_s, pi * probe_chunk, probe_chunk, 1)
+        codes_g = listing.code_buckets[pr]  # [B, pc, cap, M]
+        ids_g = listing.ids[pr]  # [B, pc, cap]
+
+        # batched ADC: each query gathers from its own LUT row
+        def one_query(lut_row, cg):
+            base = (jnp.arange(m, dtype=jnp.int32) * 256)[None, None, :]
+            idx = cg.astype(jnp.int32) + base  # [pc, cap, M]
+            return jnp.take(lut_row, idx.reshape(-1)).reshape(cg.shape).sum(-1)
+
+        s = jax.vmap(one_query)(lut, codes_g)  # [B, pc, cap]
+        s = s + cs[:, :, None]
+        s = jnp.where(ids_g >= 0, s, NEG_INF)
+        flat_s = s.reshape(b, probe_chunk * cap)
+        flat_i = ids_g.reshape(b, probe_chunk * cap)
+        csn, sel = jax.lax.top_k(flat_s, min(k_eff, flat_s.shape[1]))
+        cand_s = jnp.concatenate([bs, csn], axis=1)
+        cand_i = jnp.concatenate(
+            [bi, jnp.take_along_axis(flat_i, sel, axis=1)], axis=1
+        )
+        ms, msel = jax.lax.top_k(cand_s, k_eff)
+        return (ms, jnp.take_along_axis(cand_i, msel, axis=1)), None
+
+    init = (
+        jnp.full((b, k_eff), NEG_INF, jnp.float32),
+        jnp.full((b, k_eff), -1, jnp.int32),
+    )
+    (s, i), _ = jax.lax.scan(body, init, jnp.arange(nprobe // probe_chunk))
+    return s, i

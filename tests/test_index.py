@@ -1,0 +1,159 @@
+"""Index lifecycle tests: add/train/search/save/load/unload + validation.
+
+Mirrors the reference's FAISSStore component tests (test_components.py per
+SURVEY.md section 4 item 3) but against the real TPU-native indexes on tiny
+corpora — no mocking needed since build runs in-process.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rag_inference_pipeline_tpu.core import Settings
+from rag_inference_pipeline_tpu.index import (
+    BaseIndex,
+    FlatIndex,
+    IVFFlatIndex,
+    IVFPQIndex,
+    make_index,
+)
+
+
+@pytest.fixture()
+def corpus(rng):
+    x = rng.standard_normal((2048, 32)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x
+
+
+def oracle_ids(q, db, k):
+    s = q @ db.T
+    return np.argsort(-s, axis=1)[:, :k]
+
+
+class TestFlatIndex:
+    def test_add_search_exact(self, corpus, rng):
+        idx = FlatIndex(32, dtype="float32", use_fused=False)
+        idx.add(corpus)
+        assert idx.ntotal == 2048 and idx.is_loaded
+        q = corpus[:4]
+        s, i = idx.search(q, 5)
+        np.testing.assert_array_equal(np.asarray(i), oracle_ids(q, corpus, 5))
+
+    def test_incremental_add(self, corpus):
+        idx = FlatIndex(32, dtype="float32", use_fused=False)
+        idx.add(corpus[:1000])
+        idx.add(corpus[1000:])
+        assert idx.ntotal == 2048
+        s, i = idx.search(corpus[:2], 3)
+        np.testing.assert_array_equal(np.asarray(i), oracle_ids(corpus[:2], corpus, 3))
+
+    def test_sharded_on_mesh(self, corpus, mesh_dp8):
+        idx = FlatIndex(32, dtype="float32", mesh=mesh_dp8, use_fused=False)
+        idx.add(corpus[:2047])  # odd size -> forces shard padding
+        s, i = idx.search(corpus[:3], 5)
+        np.testing.assert_array_equal(
+            np.asarray(i), oracle_ids(corpus[:3], corpus[:2047], 5)
+        )
+
+    def test_validation(self, corpus):
+        idx = FlatIndex(32, use_fused=False)
+        with pytest.raises(RuntimeError):
+            idx.search(corpus[:1], 5)
+        idx.add(corpus)
+        with pytest.raises(ValueError):
+            idx.search(np.zeros((2, 16), np.float32), 5)
+        with pytest.raises(ValueError):
+            idx.add(np.zeros((4, 16), np.float32))
+
+    def test_save_load_roundtrip(self, corpus, tmp_path):
+        idx = FlatIndex(32, dtype="float32", use_fused=False)
+        idx.add(corpus)
+        p = str(tmp_path / "flat.npz")
+        idx.save(p)
+        idx2 = BaseIndex.load(p)
+        assert isinstance(idx2, FlatIndex)
+        assert idx2.ntotal == 2048
+        s1, i1 = idx.search(corpus[:2], 4)
+        s2, i2 = idx2.search(corpus[:2], 4)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_unload(self, corpus):
+        idx = FlatIndex(32, use_fused=False)
+        idx.add(corpus)
+        idx.unload()
+        assert not idx.is_loaded and idx.ntotal == 0
+
+    def test_warmup(self, corpus):
+        idx = FlatIndex(32, dtype="float32", use_fused=False)
+        idx.add(corpus)
+        assert idx.warmup() > 0
+
+
+class TestIVFFlatIndex:
+    def test_train_search_saveload(self, corpus, tmp_path):
+        idx = IVFFlatIndex(32, nlist=16, nprobe=8, dtype="float32")
+        idx.train_add(corpus, train_size=2048, iters=8)
+        assert idx.ntotal == 2048 and idx.imbalance <= 3.0
+        q = corpus[:8]
+        s, i = idx.search(q, 10)
+        oi = oracle_ids(q, corpus, 10)
+        rec = np.mean([len(set(np.asarray(i)[b]) & set(oi[b])) / 10 for b in range(8)])
+        assert rec >= 0.85
+        p = str(tmp_path / "ivf.npz")
+        idx.save(p)
+        idx2 = BaseIndex.load(p)
+        s2, i2 = idx2.search(q, 10)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
+
+    def test_nprobe_knob(self, corpus):
+        idx = IVFFlatIndex(32, nlist=16, nprobe=1, dtype="float32")
+        idx.train_add(corpus, train_size=2048, iters=8)
+        q = corpus[:8]
+        _, i1 = idx.search(q, 10)
+        idx.nprobe = 16
+        _, i16 = idx.search(q, 10)
+        oi = oracle_ids(q, corpus, 10)
+        r1 = np.mean([len(set(np.asarray(i1)[b]) & set(oi[b])) / 10 for b in range(8)])
+        r16 = np.mean([len(set(np.asarray(i16)[b]) & set(oi[b])) / 10 for b in range(8)])
+        assert r16 == 1.0 and r16 >= r1
+
+
+class TestIVFPQIndex:
+    def test_train_search_rescore_saveload(self, corpus, tmp_path):
+        idx = IVFPQIndex(32, nlist=8, m=16, nprobe=8, rescore_k=64)
+        idx.train_add(corpus, train_size=2048, kmeans_iters=8, pq_iters=8)
+        q = corpus[:8]
+        s, i = idx.search(q, 10)
+        oi = oracle_ids(q, corpus, 10)
+        rec = np.mean([len(set(np.asarray(i)[b]) & set(oi[b])) / 10 for b in range(8)])
+        assert rec >= 0.8  # full probe + exact re-score
+        p = str(tmp_path / "ivfpq.npz")
+        idx.save(p)
+        idx2 = BaseIndex.load(p)
+        assert isinstance(idx2, IVFPQIndex) and idx2.rescore_k == 64
+        s2, i2 = idx2.search(q, 10)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
+
+    def test_rescore_beats_adc(self, corpus):
+        raw = IVFPQIndex(32, nlist=8, m=8, nprobe=8, rescore_k=0)
+        raw.train_add(corpus, train_size=2048, kmeans_iters=8, pq_iters=8)
+        rsc = IVFPQIndex(32, nlist=8, m=8, nprobe=8, rescore_k=128)
+        rsc.train_add(corpus, train_size=2048, kmeans_iters=8, pq_iters=8)
+        q = corpus[:16]
+        oi = oracle_ids(q, corpus, 10)
+        _, ia = raw.search(q, 10)
+        _, ib = rsc.search(q, 10)
+        ra = np.mean([len(set(np.asarray(ia)[b]) & set(oi[b])) / 10 for b in range(16)])
+        rb = np.mean([len(set(np.asarray(ib)[b]) & set(oi[b])) / 10 for b in range(16)])
+        assert rb >= ra
+
+
+class TestFactory:
+    def test_make_index_kinds(self):
+        s = Settings(index_kind="flat", index_dim=64, index_pq_m=8)
+        assert isinstance(make_index(s), FlatIndex)
+        s = Settings(index_kind="ivf_flat", index_dim=64, index_nlist=8, index_pq_m=8)
+        assert isinstance(make_index(s), IVFFlatIndex)
+        s = Settings(index_kind="ivf_pq", index_dim=64, index_pq_m=8)
+        assert isinstance(make_index(s), IVFPQIndex)

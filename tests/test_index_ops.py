@@ -1,0 +1,131 @@
+"""k-means / IVF / PQ ops vs numpy oracles on clustered synthetic data."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rag_inference_pipeline_tpu.ops import (
+    assign_clusters,
+    build_ivf,
+    build_ivf_listing,
+    build_ivfpq,
+    ivf_search,
+    ivfpq_search,
+    kmeans,
+    pq_decode,
+    pq_encode,
+    pq_topk,
+    train_pq,
+)
+
+
+def clustered_data(rng, n=4000, d=32, n_clusters=16, spread=0.15):
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, n_clusters, n)
+    x = centers[labels] + spread * rng.standard_normal((n, d)).astype(np.float32)
+    return x.astype(np.float32), labels
+
+
+def np_topk_ip(q, db, k):
+    s = q.astype(np.float32) @ db.astype(np.float32).T
+    idx = np.argsort(-s, axis=1)[:, :k]
+    return np.take_along_axis(s, idx, axis=1), idx
+
+
+def recall(ids, oracle_ids):
+    k = oracle_ids.shape[1]
+    return np.mean(
+        [len(set(ids[b]) & set(oracle_ids[b])) / k for b in range(len(ids))]
+    )
+
+
+class TestKMeans:
+    def test_recovers_clusters(self, rng):
+        x, labels = clustered_data(rng, n=2000, d=16, n_clusters=8, spread=0.05)
+        c, counts = kmeans(jax.random.key(0), jnp.asarray(x), 8, iters=20, chunk=512)
+        a = np.asarray(assign_clusters(jnp.asarray(x), c, chunk=512))
+        # same-label points should land in the same cluster (purity ~ 1)
+        purity = np.mean(
+            [np.bincount(a[labels == l]).max() / (labels == l).sum() for l in range(8)]
+        )
+        assert purity > 0.95
+        assert np.asarray(counts).sum() == 2000
+
+    def test_no_empty_clusters_on_degenerate_init(self, rng):
+        x = np.repeat(rng.standard_normal((4, 8)).astype(np.float32), 64, axis=0)
+        c, counts = kmeans(jax.random.key(1), jnp.asarray(x), 4, iters=10, chunk=256)
+        assert np.asarray(counts).sum() == 256
+
+    def test_assign_matches_numpy(self, rng):
+        x, _ = clustered_data(rng, n=512, d=16)
+        c = rng.standard_normal((8, 16)).astype(np.float32)
+        a = np.asarray(assign_clusters(jnp.asarray(x), jnp.asarray(c), chunk=128))
+        d2 = ((x[:, None] - c[None]) ** 2).sum(-1)
+        np.testing.assert_array_equal(a, d2.argmin(1))
+
+
+class TestIVF:
+    def test_listing_invariants(self, rng):
+        x, _ = clustered_data(rng, n=1000, d=16, n_clusters=8)
+        c = rng.standard_normal((8, 16)).astype(np.float32)
+        a = ((x[:, None] - c[None]) ** 2).sum(-1).argmin(1)
+        listing = build_ivf_listing(x, c, a, cap_factor=1.5)
+        ids = np.asarray(listing.ids)
+        all_ids = ids[ids >= 0]
+        assert sorted(all_ids) == list(range(1000))  # every row exactly once
+        assert np.asarray(listing.list_sizes).sum() == 1000
+
+    def test_search_high_recall(self, rng):
+        x, _ = clustered_data(rng, n=4000, d=32, n_clusters=16)
+        listing = build_ivf(
+            jax.random.key(0), x, nlist=16, train_size=2000, storage_dtype=jnp.float32
+        )
+        q = x[:8] + 0.01 * rng.standard_normal((8, 32)).astype(np.float32)
+        s, i = ivf_search(listing, jnp.asarray(q), 10, nprobe=8)
+        _, oi = np_topk_ip(q, x, 10)
+        assert recall(np.asarray(i), oi) >= 0.9
+
+    def test_full_probe_is_exact(self, rng):
+        x, _ = clustered_data(rng, n=1000, d=16, n_clusters=8)
+        listing = build_ivf(
+            jax.random.key(0), x, nlist=8, train_size=1000, storage_dtype=jnp.float32
+        )
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        s, i = ivf_search(listing, jnp.asarray(q), 5, nprobe=8)
+        _, oi = np_topk_ip(q, x, 5)
+        assert recall(np.asarray(i), oi) == 1.0
+
+
+class TestPQ:
+    def test_roundtrip_error_small(self, rng):
+        x, _ = clustered_data(rng, n=2000, d=32, n_clusters=8, spread=0.05)
+        cb = train_pq(jax.random.key(0), jnp.asarray(x), m=8, iters=10)
+        codes = pq_encode(jnp.asarray(x), cb, chunk=512)
+        assert codes.shape == (2000, 8) and codes.dtype == jnp.uint8
+        xr = np.asarray(pq_decode(codes, cb))
+        rel = np.linalg.norm(xr - x) / np.linalg.norm(x)
+        assert rel < 0.25
+
+    def test_pq_topk_recall(self, rng):
+        x, _ = clustered_data(rng, n=4000, d=32, n_clusters=16, spread=0.1)
+        cb = train_pq(jax.random.key(0), jnp.asarray(x), m=16, iters=10)
+        codes = pq_encode(jnp.asarray(x), cb, chunk=1024)
+        q = x[:8]
+        s, i = pq_topk(jnp.asarray(q), codes, cb, 10, chunk=1024)
+        _, oi = np_topk_ip(q, x, 10)
+        assert recall(np.asarray(i), oi) >= 0.7  # 8x compression, no re-score
+
+
+class TestIVFPQ:
+    def test_search_recall(self, rng):
+        x, _ = clustered_data(rng, n=4000, d=32, n_clusters=16, spread=0.1)
+        listing = build_ivfpq(
+            jax.random.key(0), x, nlist=16, m=16, train_size=4000
+        )
+        q = x[:8]
+        s, i = ivfpq_search(listing, jnp.asarray(q), 10, nprobe=16, probe_chunk=4)
+        _, oi = np_topk_ip(q, x, 10)
+        assert recall(np.asarray(i), oi) >= 0.6  # residual PQ, full probe
+        assert (np.asarray(i) >= 0).all()
