@@ -1,0 +1,420 @@
+"""Model components: embedder, reranker, LLM generator, sentiment, toxicity.
+
+These carry the exact component semantics of the reference's ops layer
+(SURVEY.md section 2.2) — load/unload lifecycle, warmup, batch APIs, the
+embedder's SHA-256-keyed LRU cache, rerank top_n, LLM top-3-docs prompt with
+200-char snippets, 5-star sentiment label map, 0.5 toxicity threshold — but
+every forward pass is a jitted JAX program padded to a shape bucket, and all
+models share one device mesh.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import threading
+from functools import partial
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Settings
+from ..core.mesh import MeshContext
+from ..utils.cache import LRUCache
+from ..utils.shapes import pad_rows, pick_bucket
+from .bert import (
+    BertConfig,
+    bert_classify,
+    bert_embed,
+    init_bert_params,
+)
+from .qwen import QwenConfig, greedy_generate, init_qwen_params
+from .tokenizer import make_tokenizer
+from .weights import (
+    bert_params_from_hf,
+    load_safetensors_dict,
+    qwen_params_from_hf,
+    resolve_model_dir,
+)
+
+logger = logging.getLogger(__name__)
+
+_BERT_CONFIGS = {
+    "BAAI/bge-base-en-v1.5": BertConfig.bge_base,
+    "BAAI/bge-reranker-base": BertConfig.bge_reranker,
+    "nlptown/bert-base-multilingual-uncased-sentiment": BertConfig.sentiment,
+    "unitary/toxic-bert": BertConfig.toxicity,
+}
+
+
+def _bert_config_for(name: str, num_labels: int = 0) -> BertConfig:
+    if name in _BERT_CONFIGS:
+        return _BERT_CONFIGS[name]()
+    if name.startswith("tiny"):
+        return BertConfig.tiny(num_labels=num_labels)
+    raise ValueError(
+        f"unknown bert model {name!r}; add it to _BERT_CONFIGS or use tiny*"
+    )
+
+
+class _BertBase:
+    """Shared load/unload for BERT-backed components."""
+
+    def __init__(
+        self, settings: Settings, model_name: str, num_labels: int = 0,
+        mesh: Optional[MeshContext] = None,
+    ) -> None:
+        self.settings = settings
+        self.model_name = model_name
+        self.mesh = mesh
+        self.cfg = _bert_config_for(model_name, num_labels)
+        self.params: Optional[dict] = None
+        self.tokenizer = None
+        self.random_weights = False
+        self._lock = threading.Lock()
+
+    @property
+    def is_loaded(self) -> bool:
+        return self.params is not None
+
+    def load(self) -> None:
+        mdir = resolve_model_dir(self.settings.model_weights_dir, self.model_name)
+        dtype = jnp.dtype(self.settings.param_dtype)
+        if mdir:
+            raw = load_safetensors_dict(mdir)
+            self.params = bert_params_from_hf(raw, self.cfg, dtype)
+        elif self.settings.allow_random_weights:
+            logger.warning(
+                "%s: no local weights for %s — random init (offline mode)",
+                type(self).__name__, self.model_name,
+            )
+            self.params = init_bert_params(jax.random.key(0), self.cfg, dtype)
+            self.random_weights = True
+        else:
+            raise FileNotFoundError(
+                f"no weights for {self.model_name} under "
+                f"{self.settings.model_weights_dir}"
+            )
+        if self.mesh is not None:
+            self.params = jax.device_put(self.params, self.mesh.replicated)
+        self.tokenizer = make_tokenizer(
+            self.model_name,
+            self.settings.model_weights_dir,
+            vocab_size=self.cfg.vocab_size,
+            pad_id=self.cfg.pad_token_id,
+        )
+
+    def unload(self) -> None:
+        self.params = None
+        self.tokenizer = None
+
+
+class EmbedderComponent(_BertBase):
+    """Query/document embedding (reference components/embedding.py:101-195).
+
+    encode() returns normalized float32 [B, dim]; results are cached in a
+    SHA-256-keyed LRU (capacity settings.embedding_cache_capacity).
+    """
+
+    def __init__(self, settings: Settings, mesh: Optional[MeshContext] = None):
+        super().__init__(settings, settings.embedding_model, mesh=mesh)
+        self.cache = LRUCache(
+            settings.embedding_cache_capacity,
+            name="embedding", run_id=settings.run_id,
+            node=str(settings.node_number),
+        )
+        self.max_len = min(settings.truncate_length, self.cfg.max_positions)
+        self._fwd = jax.jit(partial(bert_embed, cfg=self.cfg))
+
+    @property
+    def dim(self) -> int:
+        return self.cfg.hidden
+
+    def load(self) -> None:
+        super().load()
+        self.encode(["warmup"])  # compile smallest bucket
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        if not self.is_loaded:
+            raise RuntimeError("embedder not loaded")
+        keys = [hashlib.sha256(t.encode()).hexdigest() for t in texts]
+        out: dict[int, np.ndarray] = {}
+        misses: list[int] = []
+        for i, k in enumerate(keys):
+            hit = self.cache.get(k)
+            if hit is not None:
+                out[i] = hit
+            else:
+                misses.append(i)
+        if misses:
+            ids, mask = self.tokenizer.encode_batch(
+                [texts[i] for i in misses], self.max_len
+            )
+            bucket = pick_bucket(len(misses), self.settings.shape_buckets)
+            ids = pad_rows(ids, bucket)
+            mask = pad_rows(mask, bucket)
+            emb = np.asarray(
+                self._fwd(self.params, input_ids=jnp.asarray(ids),
+                          attn_mask=jnp.asarray(mask))
+            )[: len(misses)]
+            for j, i in enumerate(misses):
+                out[i] = emb[j]
+                self.cache.put(keys[i], emb[j])
+        return np.stack([out[i] for i in range(len(texts))])
+
+    def unload(self) -> None:
+        super().unload()
+        self.cache.clear()
+
+
+class RerankerComponent(_BertBase):
+    """Cross-encoder rerank (reference components/reranker.py:206-308):
+    (query, doc) pairs -> sigmoid relevance, sorted descending."""
+
+    def __init__(self, settings: Settings, mesh: Optional[MeshContext] = None):
+        super().__init__(settings, settings.reranker_model, num_labels=1, mesh=mesh)
+        self.max_len = min(settings.truncate_length, self.cfg.max_positions - 2)
+        self._fwd = jax.jit(
+            partial(bert_classify, cfg=self.cfg, use_pooler=True)
+        )
+
+    def load(self) -> None:
+        super().load()
+        self.score_pairs([("warmup", "warmup")])
+
+    def score_pairs(self, pairs: Sequence[tuple[str, str]]) -> np.ndarray:
+        if not self.is_loaded:
+            raise RuntimeError("reranker not loaded")
+        ids, mask, tt = self.tokenizer.encode_pair_batch(pairs, self.max_len)
+        bucket = pick_bucket(len(pairs), self.settings.shape_buckets)
+        ids, mask, tt = (pad_rows(a, bucket) for a in (ids, mask, tt))
+        logits = np.asarray(
+            self._fwd(self.params, input_ids=jnp.asarray(ids),
+                      attn_mask=jnp.asarray(mask),
+                      token_type_ids=jnp.asarray(tt))
+        )[: len(pairs), 0]
+        return 1.0 / (1.0 + np.exp(-logits))
+
+    def rerank(
+        self, query: str, docs: Sequence[dict], top_n: Optional[int] = None
+    ) -> list[dict]:
+        """docs: [{id, content, ...}] -> top_n docs with 'rerank_score'."""
+        if not docs:
+            return []
+        scores = self.score_pairs([(query, d.get("content", "")) for d in docs])
+        order = np.argsort(-scores)
+        top_n = top_n or self.settings.rerank_top_n
+        return [
+            {**docs[i], "rerank_score": float(scores[i])}
+            for i in order[:top_n]
+        ]
+
+    def rerank_batch(
+        self, queries: Sequence[str], docs_batch: Sequence[Sequence[dict]],
+        top_n: Optional[int] = None,
+    ) -> list[list[dict]]:
+        """Flattened cross-batch scoring (the reference loops queries
+        sequentially, reranker.py:274-308 — here all pairs go in one padded
+        device batch)."""
+        pairs, spans = [], []
+        for q, docs in zip(queries, docs_batch):
+            start = len(pairs)
+            pairs.extend((q, d.get("content", "")) for d in docs)
+            spans.append((start, len(pairs)))
+        if not pairs:
+            return [[] for _ in queries]
+        scores = self.score_pairs(pairs)
+        top_n = top_n or self.settings.rerank_top_n
+        out = []
+        for (start, end), docs in zip(spans, docs_batch):
+            s = scores[start:end]
+            order = np.argsort(-s)
+            out.append(
+                [{**docs[i], "rerank_score": float(s[i])} for i in order[:top_n]]
+            )
+        return out
+
+
+class LLMComponent:
+    """Causal-LM generation (reference components/llm.py:264-459): chat-style
+    prompt from the top-3 reranked docs (200 chars each), greedy decode,
+    max_new_tokens from settings, KV cache, prefill-bucketed batching."""
+
+    def __init__(self, settings: Settings, mesh: Optional[MeshContext] = None):
+        self.settings = settings
+        self.mesh = mesh
+        name = settings.llm_model
+        if name.startswith("tiny"):
+            self.cfg = QwenConfig.tiny()
+        elif name == "Qwen/Qwen2.5-0.5B-Instruct":
+            self.cfg = QwenConfig.qwen25_05b()
+        else:
+            raise ValueError(f"unknown llm model {name!r}")
+        self.model_name = name
+        self.params = None
+        self.tokenizer = None
+        self.random_weights = False
+        self._gen = {}  # (bucket, prompt_len) -> jitted fn
+
+    @property
+    def is_loaded(self) -> bool:
+        return self.params is not None
+
+    def load(self) -> None:
+        mdir = resolve_model_dir(self.settings.model_weights_dir, self.model_name)
+        dtype = jnp.dtype(self.settings.param_dtype)
+        if mdir:
+            raw = load_safetensors_dict(mdir)
+            self.params = qwen_params_from_hf(raw, self.cfg, dtype)
+        elif self.settings.allow_random_weights:
+            logger.warning(
+                "LLM: no local weights for %s — random init (offline mode)",
+                self.model_name,
+            )
+            self.params = init_qwen_params(jax.random.key(0), self.cfg, dtype)
+            self.random_weights = True
+        else:
+            raise FileNotFoundError(f"no weights for {self.model_name}")
+        if self.mesh is not None:
+            self.params = jax.device_put(self.params, self.mesh.replicated)
+        self.tokenizer = make_tokenizer(
+            self.model_name, self.settings.model_weights_dir,
+            vocab_size=self.cfg.vocab_size, pad_id=0, eos_id=2,
+        )
+
+    def unload(self) -> None:
+        self.params = None
+        self.tokenizer = None
+        self._gen.clear()
+
+    def build_prompt(self, query: str, docs: Sequence[dict]) -> str:
+        """Chat-template prompt (reference llm.py:264-290)."""
+        s = self.settings
+        ctx = "\n\n".join(
+            f"Document {i + 1}: {d.get('content', '')[: s.llm_doc_chars]}"
+            for i, d in enumerate(docs[: s.llm_context_docs])
+        )
+        return (
+            "<|im_start|>system\nYou are a helpful assistant. Use the provided "
+            "context to answer the question.<|im_end|>\n"
+            f"<|im_start|>user\nContext:\n{ctx}\n\nQuestion: {query}<|im_end|>\n"
+            "<|im_start|>assistant\n"
+        )
+
+    def _gen_fn(self, bucket: int, prompt_len: int, max_new: int):
+        key = (bucket, prompt_len, max_new)
+        if key not in self._gen:
+            self._gen[key] = jax.jit(
+                partial(
+                    greedy_generate,
+                    cfg=self.cfg,
+                    max_new_tokens=max_new,
+                    eos_token_id=self.tokenizer.eos_id,
+                    cache_len=prompt_len + max_new,
+                )
+            )
+        return self._gen[key]
+
+    def generate_batch(
+        self, queries: Sequence[str], docs_batch: Sequence[Sequence[dict]],
+        max_new_tokens: Optional[int] = None,
+    ) -> list[str]:
+        if not self.is_loaded:
+            raise RuntimeError("llm not loaded")
+        s = self.settings
+        max_new = max_new_tokens or s.max_tokens
+        prompts = [
+            self.build_prompt(q, d) for q, d in zip(queries, docs_batch)
+        ]
+        plen_cap = min(s.truncate_length, self.cfg.max_len - max_new)
+        ids, mask = self.tokenizer.encode_batch(prompts, plen_cap)
+        # prefill bucket: smallest configured bucket covering longest prompt
+        longest = int(mask.sum(axis=1).max())
+        plen = pick_bucket(longest, s.prefill_bucket_list + (plen_cap,))
+        plen = min(plen, plen_cap)
+        ids, mask = ids[:, :plen], mask[:, :plen]
+        bucket = pick_bucket(len(prompts), s.shape_buckets)
+        ids = pad_rows(ids, bucket)
+        mask = pad_rows(mask, bucket)
+        fn = self._gen_fn(bucket, plen, max_new)
+        toks = np.asarray(
+            fn(self.params, input_ids=jnp.asarray(ids), attn_mask=jnp.asarray(mask))
+        )[: len(prompts)]
+        out = []
+        for row in toks:
+            stop = np.where(row == self.tokenizer.eos_id)[0]
+            end = int(stop[0]) if len(stop) else len(row)
+            out.append(self.tokenizer.decode(row[:end]))
+        return out
+
+    def generate(self, query: str, docs: Sequence[dict]) -> str:
+        return self.generate_batch([query], [docs])[0]
+
+
+_SENTIMENT_LABELS = [
+    "very negative", "negative", "neutral", "positive", "very positive",
+]
+
+
+class SentimentComponent(_BertBase):
+    """5-star sentiment (reference components/sentiment.py:139-190)."""
+
+    def __init__(self, settings: Settings, mesh: Optional[MeshContext] = None):
+        super().__init__(settings, settings.sentiment_model, num_labels=5, mesh=mesh)
+        self.max_len = min(settings.truncate_length, self.cfg.max_positions)
+        self._fwd = jax.jit(partial(bert_classify, cfg=self.cfg))
+
+    def load(self) -> None:
+        super().load()
+        self.analyze_batch(["warmup"])
+
+    def analyze_batch(self, texts: Sequence[str]) -> list[str]:
+        if not self.is_loaded:
+            raise RuntimeError("sentiment not loaded")
+        texts = [t[:512] for t in texts]  # char-truncate, reference :157
+        ids, mask = self.tokenizer.encode_batch(texts, self.max_len)
+        bucket = pick_bucket(len(texts), self.settings.shape_buckets)
+        ids, mask = pad_rows(ids, bucket), pad_rows(mask, bucket)
+        logits = np.asarray(
+            self._fwd(self.params, input_ids=jnp.asarray(ids),
+                      attn_mask=jnp.asarray(mask))
+        )[: len(texts)]
+        return [_SENTIMENT_LABELS[int(i)] for i in logits.argmax(axis=1)]
+
+    def analyze(self, text: str) -> str:
+        return self.analyze_batch([text])[0]
+
+
+class ToxicityComponent(_BertBase):
+    """Toxicity filter, threshold 0.5 (reference components/toxicity.py:56,130-231)."""
+
+    THRESHOLD = 0.5
+
+    def __init__(self, settings: Settings, mesh: Optional[MeshContext] = None):
+        super().__init__(settings, settings.toxicity_model, num_labels=6, mesh=mesh)
+        self.max_len = min(settings.truncate_length, self.cfg.max_positions)
+        self._fwd = jax.jit(partial(bert_classify, cfg=self.cfg))
+
+    def load(self) -> None:
+        super().load()
+        self.check_batch(["warmup"])
+
+    def check_batch(self, texts: Sequence[str]) -> list[tuple[bool, float]]:
+        if not self.is_loaded:
+            raise RuntimeError("toxicity not loaded")
+        texts = [t[:512] for t in texts]
+        ids, mask = self.tokenizer.encode_batch(texts, self.max_len)
+        bucket = pick_bucket(len(texts), self.settings.shape_buckets)
+        ids, mask = pad_rows(ids, bucket), pad_rows(mask, bucket)
+        logits = np.asarray(
+            self._fwd(self.params, input_ids=jnp.asarray(ids),
+                      attn_mask=jnp.asarray(mask))
+        )[: len(texts)]
+        scores = 1.0 / (1.0 + np.exp(-logits))  # multi-label sigmoid
+        worst = scores.max(axis=1)
+        return [(bool(w >= self.THRESHOLD), float(w)) for w in worst]
+
+    def check(self, text: str) -> tuple[bool, float]:
+        return self.check_batch([text])[0]

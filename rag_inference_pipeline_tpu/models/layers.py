@@ -1,0 +1,118 @@
+"""Shared transformer building blocks, pure JAX.
+
+Replaces the reference's torch/transformers forward passes (reference:
+components/embedding.py, reranker.py, llm.py, sentiment.py, toxicity.py all
+call HF torch models). Models here are param-pytree + pure-function style so
+weights map 1:1 from HF safetensors and shard cleanly with NamedSharding;
+everything is jit/pjit-compatible with static shapes (SURVEY.md section 7.2
+item 4).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = dict  # nested str -> array pytree
+
+
+def layer_norm(x, weight, bias, eps: float = 1e-12):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * weight + bias).astype(x.dtype)
+
+
+def rms_norm(x, weight, eps: float = 1e-6):
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps) * weight).astype(x.dtype)
+
+
+def dense(x, w, b=None):
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def rope_frequencies(head_dim: int, max_len: int, theta: float = 10000.0):
+    """Precompute RoPE cos/sin tables: [max_len, head_dim//2] each."""
+    inv = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    t = jnp.arange(max_len, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv)
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def apply_rope(x, cos, sin, positions):
+    """x: [B, T, H, Dh]; positions: [B, T] absolute positions."""
+    c = cos[positions][:, :, None, :]  # [B, T, 1, Dh/2]
+    s = sin[positions][:, :, None, :]
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate(
+        [x1 * c - x2 * s, x2 * c + x1 * s], axis=-1
+    ).astype(x.dtype)
+
+
+def attention(
+    q: jax.Array,  # [B, T, Hq, Dh]
+    k: jax.Array,  # [B, S, Hkv, Dh]
+    v: jax.Array,  # [B, S, Hkv, Dh]
+    mask: Optional[jax.Array] = None,  # broadcastable to [B, Hq, T, S], bool
+) -> jax.Array:
+    """Scaled dot-product attention with GQA head-group broadcast.
+
+    f32 softmax accumulation regardless of input dtype (bf16-safe).
+    """
+    b, t, hq, dh = q.shape
+    hkv = k.shape[2]
+    if hq != hkv:
+        group = hq // hkv
+        k = jnp.repeat(k, group, axis=2)
+        v = jnp.repeat(v, group, axis=2)
+    scores = jnp.einsum(
+        "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
+    ) / math.sqrt(dh)
+    if mask is not None:
+        scores = jnp.where(mask, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhts,bshd->bthd", probs, v, preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def causal_mask(t: int, s: int, offset) -> jax.Array:
+    """[1, 1, T, S] boolean causal mask; `offset` = absolute position of the
+    first query row (traced value OK)."""
+    rows = offset + jax.lax.broadcasted_iota(jnp.int32, (t, s), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t, s), 1)
+    return (cols <= rows)[None, None]
+
+
+def make_padding_mask(attn_mask: jax.Array) -> jax.Array:
+    """[B, S] {0,1} -> [B, 1, 1, S] boolean key-padding mask."""
+    return (attn_mask > 0)[:, None, None, :]
+
+
+class KVCache(NamedTuple):
+    """Static-shape KV cache: [B, max_len, Hkv, Dh] per layer, stacked on
+    axis 0 over layers -> [L, B, max_len, Hkv, Dh]."""
+
+    k: jax.Array
+    v: jax.Array
+    length: jax.Array  # [B] i32 — filled length per sequence
+
+    @classmethod
+    def zeros(cls, layers, batch, max_len, heads_kv, head_dim, dtype=jnp.bfloat16):
+        shape = (layers, batch, max_len, heads_kv, head_dim)
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            length=jnp.zeros((batch,), jnp.int32),
+        )

@@ -1,0 +1,285 @@
+"""Qwen2-style causal LM in pure JAX with a static-shape KV cache.
+
+Replaces the reference's torch LLMGenerator (reference components/llm.py —
+Qwen/Qwen2.5-0.5B-Instruct, greedy decode, max_new_tokens=128, KV cache on,
+left-pad batching). Architecture: RMSNorm pre-norm, RoPE, GQA, SwiGLU,
+optional QKV bias, tied embeddings.
+
+Decode design (SURVEY.md section 7.4 item 3): `prefill` consumes a padded
+prompt bucket and fills the cache; `decode_step` advances every sequence one
+token; generation is a `lax.scan` over steps — no dynamic shapes anywhere,
+so the engine's continuous batching can swap sequences in and out of lanes
+between scans without recompiling.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .layers import (
+    KVCache,
+    apply_rope,
+    attention,
+    dense,
+    rms_norm,
+    rope_frequencies,
+)
+
+
+@dataclass(frozen=True)
+class QwenConfig:
+    vocab_size: int = 151936
+    hidden: int = 896
+    layers: int = 24
+    heads: int = 14
+    kv_heads: int = 2
+    head_dim: int = 64
+    intermediate: int = 4864
+    rope_theta: float = 1e6
+    eps: float = 1e-6
+    qkv_bias: bool = True
+    tie_embeddings: bool = True
+    max_len: int = 4096
+
+    @staticmethod
+    def qwen25_05b() -> "QwenConfig":
+        """Qwen/Qwen2.5-0.5B-Instruct."""
+        return QwenConfig()
+
+    @staticmethod
+    def tiny() -> "QwenConfig":
+        return QwenConfig(
+            vocab_size=512,
+            hidden=64,
+            layers=2,
+            heads=4,
+            kv_heads=2,
+            head_dim=16,
+            intermediate=128,
+            max_len=256,
+        )
+
+
+def init_qwen_params(key: jax.Array, cfg: QwenConfig, dtype=jnp.float32) -> dict:
+    ks = jax.random.split(key, 3 + cfg.layers)
+    std = 0.02
+
+    def w(ki, *shape):
+        return (std * jax.random.normal(ki, shape)).astype(dtype)
+
+    h = cfg.hidden
+    qd = cfg.heads * cfg.head_dim
+    kvd = cfg.kv_heads * cfg.head_dim
+    params = {
+        "embed": w(ks[0], cfg.vocab_size, h),
+        "final_ln": jnp.ones((h,), dtype),
+        "layers": [],
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = w(ks[1], h, cfg.vocab_size)
+    for li in range(cfg.layers):
+        kk = jax.random.split(ks[3 + li], 8)
+        lp = {
+            "in_ln": jnp.ones((h,), dtype),
+            "q_w": w(kk[0], h, qd),
+            "k_w": w(kk[1], h, kvd),
+            "v_w": w(kk[2], h, kvd),
+            "o_w": w(kk[3], qd, h),
+            "post_ln": jnp.ones((h,), dtype),
+            "gate_w": w(kk[4], h, cfg.intermediate),
+            "up_w": w(kk[5], h, cfg.intermediate),
+            "down_w": w(kk[6], cfg.intermediate, h),
+        }
+        if cfg.qkv_bias:
+            lp["q_b"] = jnp.zeros((qd,), dtype)
+            lp["k_b"] = jnp.zeros((kvd,), dtype)
+            lp["v_b"] = jnp.zeros((kvd,), dtype)
+        params["layers"].append(lp)
+    return params
+
+
+class DecodeState(NamedTuple):
+    cache: KVCache
+    positions: jax.Array  # [B] i32 — next absolute position per lane
+    tokens: jax.Array  # [B] i32 — last emitted token per lane
+    done: jax.Array  # [B] bool
+
+
+def _block(
+    lp: dict,
+    cfg: QwenConfig,
+    x: jax.Array,  # [B, T, H]
+    cos,
+    sin,
+    positions,  # [B, T]
+    cache_k,  # [B, S, Hkv, Dh] or None
+    cache_v,
+    mask,  # [B or 1, 1, T, S] bool
+):
+    b, t, _ = x.shape
+    y = rms_norm(x, lp["in_ln"], cfg.eps)
+    q = dense(y, lp["q_w"], lp.get("q_b")).reshape(b, t, cfg.heads, cfg.head_dim)
+    k = dense(y, lp["k_w"], lp.get("k_b")).reshape(b, t, cfg.kv_heads, cfg.head_dim)
+    v = dense(y, lp["v_w"], lp.get("v_b")).reshape(b, t, cfg.kv_heads, cfg.head_dim)
+    q = apply_rope(q, cos, sin, positions)
+    k = apply_rope(k, cos, sin, positions)
+    if cache_k is not None:
+        k_full = jax.vmap(
+            lambda ck, kn, p: jax.lax.dynamic_update_slice(ck, kn, (p, 0, 0))
+        )(cache_k, k, positions[:, 0])
+        v_full = jax.vmap(
+            lambda cv, vn, p: jax.lax.dynamic_update_slice(cv, vn, (p, 0, 0))
+        )(cache_v, v, positions[:, 0])
+    else:
+        k_full, v_full = k, v
+    a = attention(q, k_full, v_full, mask).reshape(b, t, -1)
+    x = x + dense(a, lp["o_w"])
+    y = rms_norm(x, lp["post_ln"], cfg.eps)
+    ff = jax.nn.silu(dense(y, lp["gate_w"])) * dense(y, lp["up_w"])
+    return x + dense(ff, lp["down_w"]), k_full, v_full
+
+
+def _logits(params, cfg, x):
+    y = rms_norm(x, params["final_ln"], cfg.eps)
+    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    return jnp.dot(
+        y.astype(jnp.float32), head.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def qwen_forward(
+    params: dict,
+    cfg: QwenConfig,
+    input_ids: jax.Array,  # [B, T]
+    attn_mask: jax.Array,  # [B, T] {0,1} (right-padded prompts)
+) -> jax.Array:
+    """Plain causal forward (no cache) -> logits [B, T, V]. Training/eval."""
+    b, t = input_ids.shape
+    cos, sin = rope_frequencies(cfg.head_dim, cfg.max_len, cfg.rope_theta)
+    positions = jnp.maximum(jnp.cumsum(attn_mask, axis=1) - 1, 0).astype(jnp.int32)
+    x = jnp.take(params["embed"], input_ids, axis=0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    causal = (cols <= rows)[None, None]
+    pad = (attn_mask > 0)[:, None, None, :]
+    mask = jnp.logical_and(causal, pad)
+    for lp in params["layers"]:
+        x, _, _ = _block(lp, cfg, x, cos, sin, positions, None, None, mask)
+    return _logits(params, cfg, x)
+
+
+def qwen_prefill(
+    params: dict,
+    cfg: QwenConfig,
+    input_ids: jax.Array,  # [B, T] right-padded prompt bucket
+    attn_mask: jax.Array,  # [B, T]
+    cache: KVCache,
+) -> tuple[jax.Array, KVCache]:
+    """Fill the cache with the prompt; return (next-token logits [B, V], cache).
+
+    Each lane writes its prompt at cache offset 0; `cache.length` becomes the
+    true prompt length per lane.
+    """
+    b, t = input_ids.shape
+    s = cache.k.shape[2]
+    cos, sin = rope_frequencies(cfg.head_dim, cfg.max_len, cfg.rope_theta)
+    positions = jnp.maximum(jnp.cumsum(attn_mask, axis=1) - 1, 0).astype(jnp.int32)
+    lengths = jnp.sum(attn_mask, axis=1).astype(jnp.int32)
+    x = jnp.take(params["embed"], input_ids, axis=0)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, s), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t, s), 1)
+    causal = (cols <= rows)[None, None]
+    valid_key = (cols[None] < lengths[:, None, None])[:, None]
+    mask = jnp.logical_and(causal, valid_key)
+
+    zero_pos = jnp.zeros((b,), jnp.int32)
+    new_k, new_v = [], []
+    for li, lp in enumerate(params["layers"]):
+        x, kf, vf = _block(
+            lp, cfg, x, cos, sin, positions,
+            cache.k[li], cache.v[li], mask,
+        )
+        # prefill writes at offset 0: dynamic_update_slice at position 0
+        new_k.append(kf)
+        new_v.append(vf)
+    cache = KVCache(
+        k=jnp.stack(new_k), v=jnp.stack(new_v), length=lengths
+    )
+    last = jnp.take_along_axis(
+        x, jnp.maximum(lengths - 1, 0)[:, None, None], axis=1
+    )[:, 0]
+    return _logits(params, cfg, last[:, None, :])[:, 0], cache
+
+
+def qwen_decode_step(
+    params: dict,
+    cfg: QwenConfig,
+    tokens: jax.Array,  # [B] last tokens
+    cache: KVCache,
+) -> tuple[jax.Array, KVCache]:
+    """One decode step for every lane -> (logits [B, V], updated cache)."""
+    b = tokens.shape[0]
+    s = cache.k.shape[2]
+    cos, sin = rope_frequencies(cfg.head_dim, cfg.max_len, cfg.rope_theta)
+    positions = cache.length[:, None]  # [B, 1]
+    x = jnp.take(params["embed"], tokens, axis=0)[:, None, :]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    mask = (cols[None] <= positions[:, :, None])[:, None]  # [B,1,1,S]
+    new_k, new_v = [], []
+    for li, lp in enumerate(params["layers"]):
+        x, kf, vf = _block(
+            lp, cfg, x, cos, sin, positions, cache.k[li], cache.v[li], mask
+        )
+        new_k.append(kf)
+        new_v.append(vf)
+    cache = KVCache(
+        k=jnp.stack(new_k), v=jnp.stack(new_v), length=cache.length + 1
+    )
+    return _logits(params, cfg, x)[:, 0], cache
+
+
+def greedy_generate(
+    params: dict,
+    cfg: QwenConfig,
+    input_ids: jax.Array,  # [B, T] right-padded
+    attn_mask: jax.Array,
+    max_new_tokens: int,
+    *,
+    eos_token_id: int = -1,
+    cache_len: Optional[int] = None,
+) -> jax.Array:
+    """Greedy decode -> [B, max_new_tokens] (eos-padded with eos afterwards).
+
+    The scan body is shape-static; `max_new_tokens` picks the trip count
+    (reference llm.py:292-366: greedy, max_new_tokens=128).
+    """
+    b, t = input_ids.shape
+    s = cache_len or (t + max_new_tokens)
+    cache = KVCache.zeros(
+        cfg.layers, b, s, cfg.kv_heads, cfg.head_dim,
+        dtype=params["embed"].dtype,
+    )
+    logits, cache = qwen_prefill(params, cfg, input_ids, attn_mask, cache)
+    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    done0 = first == eos_token_id
+
+    def step(carry, _):
+        tokens, cache, done = carry
+        logits, cache = qwen_decode_step(params, cfg, tokens, cache)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, eos_token_id, nxt)
+        done = jnp.logical_or(done, nxt == eos_token_id)
+        return (nxt, cache, done), nxt
+
+    if max_new_tokens == 1:
+        return first[:, None]
+    (_, _, _), rest = jax.lax.scan(
+        step, (first, cache, done0), None, length=max_new_tokens - 1
+    )
+    return jnp.concatenate([first[:, None], rest.T], axis=1)
