@@ -23,7 +23,7 @@ import numpy as np
 from ..core.config import Settings
 from ..core.mesh import MeshContext
 from ..utils.cache import LRUCache
-from ..utils.shapes import pad_rows, pick_bucket
+from ..utils.shapes import chunk_spans, pad_rows, pick_bucket
 from .bert import (
     BertConfig,
     bert_classify,
@@ -40,6 +40,25 @@ from .weights import (
 )
 
 logger = logging.getLogger(__name__)
+
+def _bucketed_forward(
+    fwd, params, arrays: Sequence[np.ndarray], buckets, kw_names: Sequence[str]
+) -> np.ndarray:
+    """Run a jitted forward over row-chunks padded to shape buckets.
+
+    Oversize batches split into max-bucket chunks (one compiled program per
+    bucket size — never per batch size)."""
+    n = arrays[0].shape[0]
+    outs = []
+    for s, e in chunk_spans(n, max(buckets)):
+        bucket = pick_bucket(e - s, buckets)
+        padded = {
+            name: jnp.asarray(pad_rows(a[s:e], bucket))
+            for name, a in zip(kw_names, arrays)
+        }
+        outs.append(np.asarray(fwd(params, **padded))[: e - s])
+    return np.concatenate(outs)
+
 
 _BERT_CONFIGS = {
     "BAAI/bge-base-en-v1.5": BertConfig.bge_base,
@@ -152,13 +171,10 @@ class EmbedderComponent(_BertBase):
             ids, mask = self.tokenizer.encode_batch(
                 [texts[i] for i in misses], self.max_len
             )
-            bucket = pick_bucket(len(misses), self.settings.shape_buckets)
-            ids = pad_rows(ids, bucket)
-            mask = pad_rows(mask, bucket)
-            emb = np.asarray(
-                self._fwd(self.params, input_ids=jnp.asarray(ids),
-                          attn_mask=jnp.asarray(mask))
-            )[: len(misses)]
+            emb = _bucketed_forward(
+                self._fwd, self.params, (ids, mask),
+                self.settings.shape_buckets, ("input_ids", "attn_mask"),
+            )
             for j, i in enumerate(misses):
                 out[i] = emb[j]
                 self.cache.put(keys[i], emb[j])
@@ -188,13 +204,11 @@ class RerankerComponent(_BertBase):
         if not self.is_loaded:
             raise RuntimeError("reranker not loaded")
         ids, mask, tt = self.tokenizer.encode_pair_batch(pairs, self.max_len)
-        bucket = pick_bucket(len(pairs), self.settings.shape_buckets)
-        ids, mask, tt = (pad_rows(a, bucket) for a in (ids, mask, tt))
-        logits = np.asarray(
-            self._fwd(self.params, input_ids=jnp.asarray(ids),
-                      attn_mask=jnp.asarray(mask),
-                      token_type_ids=jnp.asarray(tt))
-        )[: len(pairs), 0]
+        logits = _bucketed_forward(
+            self._fwd, self.params, (ids, mask, tt),
+            self.settings.shape_buckets,
+            ("input_ids", "attn_mask", "token_type_ids"),
+        )[:, 0]
         return 1.0 / (1.0 + np.exp(-logits))
 
     def rerank(
@@ -329,24 +343,32 @@ class LLMComponent:
             self.build_prompt(q, d) for q, d in zip(queries, docs_batch)
         ]
         plen_cap = min(s.truncate_length, self.cfg.max_len - max_new)
-        ids, mask = self.tokenizer.encode_batch(prompts, plen_cap)
-        # prefill bucket: smallest configured bucket covering longest prompt
-        longest = int(mask.sum(axis=1).max())
-        plen = pick_bucket(longest, s.prefill_bucket_list + (plen_cap,))
-        plen = min(plen, plen_cap)
-        ids, mask = ids[:, :plen], mask[:, :plen]
-        bucket = pick_bucket(len(prompts), s.shape_buckets)
-        ids = pad_rows(ids, bucket)
-        mask = pad_rows(mask, bucket)
-        fn = self._gen_fn(bucket, plen, max_new)
-        toks = np.asarray(
-            fn(self.params, input_ids=jnp.asarray(ids), attn_mask=jnp.asarray(mask))
-        )[: len(prompts)]
-        out = []
-        for row in toks:
-            stop = np.where(row == self.tokenizer.eos_id)[0]
-            end = int(stop[0]) if len(stop) else len(row)
-            out.append(self.tokenizer.decode(row[:end]))
+        all_ids, all_mask = self.tokenizer.encode_batch(prompts, plen_cap)
+        out: list[str] = []
+        for cs, ce in chunk_spans(len(prompts), max(s.shape_buckets)):
+            ids, mask = all_ids[cs:ce], all_mask[cs:ce]
+            # prefill bucket: smallest bucket covering the longest prompt
+            longest = int(mask.sum(axis=1).max())
+            plen = pick_bucket(longest, s.prefill_bucket_list + (plen_cap,))
+            plen = min(plen, plen_cap)
+            ids, mask = ids[:, :plen], mask[:, :plen]
+            bucket = pick_bucket(ce - cs, s.shape_buckets)
+            ids = pad_rows(ids, bucket)
+            mask = pad_rows(mask, bucket)
+            # fully-padded rows break position math; give them one live token
+            mask[ce - cs :, 0] = 1
+            fn = self._gen_fn(bucket, plen, max_new)
+            toks = np.asarray(
+                fn(
+                    self.params,
+                    input_ids=jnp.asarray(ids),
+                    attn_mask=jnp.asarray(mask),
+                )
+            )[: ce - cs]
+            for row in toks:
+                stop = np.where(row == self.tokenizer.eos_id)[0]
+                end = int(stop[0]) if len(stop) else len(row)
+                out.append(self.tokenizer.decode(row[:end]))
         return out
 
     def generate(self, query: str, docs: Sequence[dict]) -> str:
@@ -375,12 +397,10 @@ class SentimentComponent(_BertBase):
             raise RuntimeError("sentiment not loaded")
         texts = [t[:512] for t in texts]  # char-truncate, reference :157
         ids, mask = self.tokenizer.encode_batch(texts, self.max_len)
-        bucket = pick_bucket(len(texts), self.settings.shape_buckets)
-        ids, mask = pad_rows(ids, bucket), pad_rows(mask, bucket)
-        logits = np.asarray(
-            self._fwd(self.params, input_ids=jnp.asarray(ids),
-                      attn_mask=jnp.asarray(mask))
-        )[: len(texts)]
+        logits = _bucketed_forward(
+            self._fwd, self.params, (ids, mask),
+            self.settings.shape_buckets, ("input_ids", "attn_mask"),
+        )
         return [_SENTIMENT_LABELS[int(i)] for i in logits.argmax(axis=1)]
 
     def analyze(self, text: str) -> str:
@@ -406,12 +426,10 @@ class ToxicityComponent(_BertBase):
             raise RuntimeError("toxicity not loaded")
         texts = [t[:512] for t in texts]
         ids, mask = self.tokenizer.encode_batch(texts, self.max_len)
-        bucket = pick_bucket(len(texts), self.settings.shape_buckets)
-        ids, mask = pad_rows(ids, bucket), pad_rows(mask, bucket)
-        logits = np.asarray(
-            self._fwd(self.params, input_ids=jnp.asarray(ids),
-                      attn_mask=jnp.asarray(mask))
-        )[: len(texts)]
+        logits = _bucketed_forward(
+            self._fwd, self.params, (ids, mask),
+            self.settings.shape_buckets, ("input_ids", "attn_mask"),
+        )
         scores = 1.0 / (1.0 + np.exp(-logits))  # multi-label sigmoid
         worst = scores.max(axis=1)
         return [(bool(w >= self.THRESHOLD), float(w)) for w in worst]

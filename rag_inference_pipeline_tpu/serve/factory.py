@@ -1,0 +1,177 @@
+"""Component factory + app assembly from a role profile.
+
+Reference parity (src/pipeline/component_factory.py:63-104 and
+runtime_factory.py:166-344): ComponentType -> constructor dispatch, profile
+-> registry with aliases, services wired with whatever components are local
+to this node, lifespan start/stop. The mesh component is TPU-new: one
+MeshContext shared by every on-device component.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Optional
+
+from ..core.config import Settings
+from ..core.enums import ComponentType
+from ..core.mesh import MeshContext, mesh_from_settings
+from ..core.profiles import Profile
+from ..core.registry import ComponentRegistry
+from ..engine.orchestrator import Orchestrator
+from ..index import make_index
+from ..models.components import (
+    EmbedderComponent,
+    LLMComponent,
+    RerankerComponent,
+    SentimentComponent,
+    ToxicityComponent,
+)
+from ..utils.docstore import DocumentStore
+from .services import GenerationService, RetrievalExecutor
+
+logger = logging.getLogger(__name__)
+
+
+class MeshComponent:
+    """Registry wrapper owning the device mesh."""
+
+    def __init__(self, settings: Settings) -> None:
+        self.settings = settings
+        self.ctx: Optional[MeshContext] = None
+
+    def load(self) -> None:
+        self.ctx = mesh_from_settings(self.settings)
+        logger.info(
+            "mesh ready: dp=%d tp=%d devices=%d",
+            self.ctx.dp, self.ctx.tp, self.ctx.n_devices,
+        )
+
+    def unload(self) -> None:
+        self.ctx = None
+
+    @property
+    def is_loaded(self) -> bool:
+        return self.ctx is not None
+
+
+class IndexComponent:
+    """Index lifecycle wrapper: loads from index_path at startup (the
+    reference loads a prebuilt faiss file, faiss_store.py:58-69)."""
+
+    def __init__(self, settings: Settings, mesh: Optional[MeshContext]) -> None:
+        self.settings = settings
+        self.mesh = mesh
+        self.index = None
+
+    def load(self) -> None:
+        from ..index.base import BaseIndex
+
+        if self.settings.index_path:
+            self.index = BaseIndex.load(self.settings.index_path, self.mesh)
+            self.index.warmup(self.settings.retrieval_k)
+        else:
+            # empty index of the configured kind; build/ingest via API or bench
+            self.index = make_index(self.settings, self.mesh)
+            logger.warning("index: no index_path — starting empty (not loaded)")
+
+    def unload(self) -> None:
+        if self.index is not None:
+            self.index.unload()
+            self.index = None
+
+    @property
+    def is_loaded(self) -> bool:
+        return self.index is not None and self.index.is_loaded
+
+
+def build_registry(
+    settings: Settings,
+    profile: Profile,
+    *,
+    overrides: Optional[dict[str, Any]] = None,
+) -> ComponentRegistry:
+    """Instantiate + register (and thus load) every profiled component.
+
+    `overrides` maps component-type value -> prebuilt instance (tests inject
+    fakes here — the translation of the reference's mocked registries,
+    SURVEY.md section 4 item 6).
+    """
+    overrides = overrides or {}
+    registry = ComponentRegistry()
+    mesh_ctx: Optional[MeshContext] = None
+
+    for spec in profile.components:
+        name = spec.name
+        t = spec.type
+        if t.value in overrides:
+            registry.register(name, overrides[t.value], load=False)
+            if t is ComponentType.MESH:
+                mesh_ctx = getattr(overrides[t.value], "ctx", None)
+            continue
+        if t is ComponentType.MESH:
+            comp = MeshComponent(settings)
+            registry.register(name, comp)
+            mesh_ctx = comp.ctx
+        elif t is ComponentType.EMBEDDER:
+            registry.register(name, EmbedderComponent(settings, mesh_ctx))
+        elif t is ComponentType.INDEX:
+            registry.register(name, IndexComponent(settings, mesh_ctx))
+        elif t is ComponentType.DOC_STORE:
+            registry.register(name, DocumentStore(settings))
+        elif t is ComponentType.RERANKER:
+            registry.register(name, RerankerComponent(settings, mesh_ctx))
+        elif t is ComponentType.LLM:
+            registry.register(name, LLMComponent(settings, mesh_ctx))
+        elif t is ComponentType.SENTIMENT:
+            registry.register(name, SentimentComponent(settings, mesh_ctx))
+        elif t is ComponentType.TOXICITY:
+            registry.register(name, ToxicityComponent(settings, mesh_ctx))
+        elif t is ComponentType.ORCHESTRATOR:
+            pass  # wired after local services exist, below
+        if spec.alias and spec.alias != t.value and t.value not in registry:
+            try:
+                registry.alias(t.value, name)
+            except ValueError:
+                pass
+
+    def opt(t: ComponentType):
+        comp = registry.get_optional(t.value)
+        return comp
+
+    # service wiring: executors see whichever components are on this node
+    retrieval_executor = None
+    if "retrieval" in profile.routes:
+        idx_comp = opt(ComponentType.INDEX)
+        retrieval_executor = RetrievalExecutor(
+            settings,
+            index=getattr(idx_comp, "index", idx_comp),
+            embedder=opt(ComponentType.EMBEDDER),
+            doc_store=opt(ComponentType.DOC_STORE),
+            reranker=opt(ComponentType.RERANKER),
+        )
+        registry.register("retrieval_executor", retrieval_executor, load=False)
+
+    generation_service = None
+    if "generation" in profile.routes:
+        generation_service = GenerationService(
+            settings,
+            llm=opt(ComponentType.LLM),
+            reranker=opt(ComponentType.RERANKER),
+            sentiment=opt(ComponentType.SENTIMENT),
+            toxicity=opt(ComponentType.TOXICITY),
+            doc_store=opt(ComponentType.DOC_STORE),
+        )
+        registry.register("generation_service", generation_service, load=False)
+
+    if profile.has(ComponentType.ORCHESTRATOR):
+        orch = Orchestrator(
+            settings,
+            retrieval_executor=retrieval_executor,
+            generation_service=generation_service,
+            embedder=(
+                opt(ComponentType.EMBEDDER) if retrieval_executor is None else None
+            ),
+        )
+        registry.register("orchestrator", orch, load=False)
+
+    return registry

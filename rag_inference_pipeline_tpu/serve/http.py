@@ -1,0 +1,276 @@
+"""HTTP serving surface (aiohttp): the reference's FastAPI app re-created
+endpoint-for-endpoint (reference runtime_factory.py:240-312 mounts
+gateway/retrieval/generation routers + /health + /metrics; gateway/api.py
+error taxonomy -> 400/503/500; /clear_cache cascades downstream).
+
+Request bodies may arrive zstd-compressed (Content-Encoding) and responses
+compress when Accept-Encoding allows — the CompressionMiddleware twin
+(reference middleware.py:73-169).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+from typing import Optional
+
+from aiohttp import web
+from pydantic import ValidationError
+
+from ..core.config import Settings
+from ..core.enums import ComponentType
+from ..core.profiles import Profile
+from ..core.registry import ComponentRegistry
+from ..engine.batcher import BatchScheduler
+from ..telemetry.metrics import (
+    CONTENT_TYPE_LATEST,
+    ERRORS_TOTAL,
+    render_metrics,
+    update_resource_gauges,
+)
+from .compression import compress, decompress
+from .schemas import (
+    GenerateRequest,
+    GenerateResponse,
+    HealthResponse,
+    QueryRequest,
+    QueryResponse,
+    RetrieveRequest,
+    RetrieveResponse,
+)
+
+logger = logging.getLogger(__name__)
+
+SCHEDULERS_KEY = web.AppKey("schedulers", dict)
+REGISTRY_KEY = web.AppKey("registry", ComponentRegistry)
+SETTINGS_KEY = web.AppKey("settings", Settings)
+PROFILE_KEY = web.AppKey("profile", Profile)
+
+
+# Custom header: aiohttp's HTTP parser rejects Content-Encoding values it
+# can't decode itself, so the pipeline's zstd framing rides X-Ragtpu-Encoding
+# (both ends are ours: RPCClient + this middleware).
+ENCODING_HEADER = "X-Ragtpu-Encoding"
+ACCEPT_HEADER = "X-Ragtpu-Accept-Encoding"
+
+
+@web.middleware
+async def compression_middleware(request: web.Request, handler):
+    if request.headers.get(ENCODING_HEADER) == "zstd":
+        # handlers read the body via _read_json, which prefers this key
+        request["_decompressed_body"] = decompress(await request.read())
+    resp = await handler(request)
+    s: Settings = request.app[SETTINGS_KEY]
+    if (
+        "zstd" in request.headers.get(ACCEPT_HEADER, "")
+        and isinstance(resp, web.Response)
+        and resp.body
+        and s.compression_algorithm == "zstd"
+    ):
+        body, was = compress(
+            bytes(resp.body),
+            level=s.compression_level,
+            min_bytes=s.compression_min_bytes,
+            run_id=s.run_id,
+            node=str(s.node_number),
+            direction="in",
+        )
+        if was:
+            resp.body = body
+            resp.headers[ENCODING_HEADER] = "zstd"
+    return resp
+
+
+@web.middleware
+async def error_middleware(request: web.Request, handler):
+    """Error taxonomy -> status codes (reference gateway/api.py:145-176)."""
+    s: Settings = request.app[SETTINGS_KEY]
+    try:
+        return await handler(request)
+    except web.HTTPException:
+        raise
+    except (ValidationError, ValueError, json.JSONDecodeError) as exc:
+        ERRORS_TOTAL.labels(
+            s.run_id, str(s.node_number), "http", type(exc).__name__
+        ).inc()
+        return web.json_response(
+            {"error": str(exc)[:500], "error_type": "validation"}, status=400
+        )
+    except RuntimeError as exc:
+        # readiness failures -> 503 (reference retrieval/api.py:221-239)
+        ERRORS_TOTAL.labels(
+            s.run_id, str(s.node_number), "http", type(exc).__name__
+        ).inc()
+        msg = str(exc)
+        status = 503 if "not ready" in msg or "not loaded" in msg else 500
+        return web.json_response(
+            {"error": msg[:500], "error_type": "unavailable"}, status=status
+        )
+    except Exception as exc:  # noqa: BLE001
+        logger.exception("unhandled error on %s", request.path)
+        ERRORS_TOTAL.labels(
+            s.run_id, str(s.node_number), "http", type(exc).__name__
+        ).inc()
+        return web.json_response(
+            {"error": str(exc)[:500], "error_type": "internal"}, status=500
+        )
+
+
+async def _read_json(request: web.Request) -> dict:
+    body = request.get("_decompressed_body") or await request.read()
+    return json.loads(body)
+
+
+# -- handlers ---------------------------------------------------------------
+
+
+async def handle_query(request: web.Request) -> web.Response:
+    q = QueryRequest.model_validate(await _read_json(request))
+    s: Settings = request.app[SETTINGS_KEY]
+    orch = request.app[REGISTRY_KEY].get("orchestrator")
+    update_resource_gauges(s.run_id, str(s.node_number))
+    result = await orch.process_query(q.query, q.request_id, q.k)
+    return web.json_response(QueryResponse(**result).model_dump())
+
+
+async def handle_retrieve(request: web.Request) -> web.Response:
+    req = RetrieveRequest.model_validate(await _read_json(request))
+    sched: BatchScheduler = request.app[SCHEDULERS_KEY]["retrieval"]
+    items = [
+        {
+            "query": it.query,
+            "embedding": it.embedding,
+            "k": it.k,
+            "rerank": req.rerank,
+        }
+        for it in req.items
+    ]
+    results = await asyncio.gather(*(sched.enqueue(it) for it in items))
+    return web.json_response(
+        RetrieveResponse(results=list(results)).model_dump(exclude_none=True)
+    )
+
+
+async def handle_generate(request: web.Request) -> web.Response:
+    req = GenerateRequest.model_validate(await _read_json(request))
+    sched: BatchScheduler = request.app[SCHEDULERS_KEY]["generation"]
+    items = [it.model_dump(exclude_none=True) for it in req.items]
+    results = await asyncio.gather(*(sched.enqueue(it) for it in items))
+    return web.json_response(
+        GenerateResponse(results=list(results)).model_dump()
+    )
+
+
+async def handle_health(request: web.Request) -> web.Response:
+    s: Settings = request.app[SETTINGS_KEY]
+    registry = request.app[REGISTRY_KEY]
+    health = registry.health()
+    random_w = [
+        name
+        for name in registry.names
+        if getattr(registry.get(name), "random_weights", False)
+    ]
+    ok = all(health.values())
+    resp = HealthResponse(
+        status="ok" if ok else "degraded",
+        node=s.node_number,
+        role=s.node_role.value,
+        components=health,
+        random_weights=random_w,
+    )
+    return web.json_response(resp.model_dump(), status=200 if ok else 503)
+
+
+async def handle_metrics(request: web.Request) -> web.Response:
+    return web.Response(body=render_metrics(), content_type="text/plain")
+
+
+async def handle_clear_cache(request: web.Request) -> web.Response:
+    registry = request.app[REGISTRY_KEY]
+    s: Settings = request.app[SETTINGS_KEY]
+    cleared = []
+    orch = registry.get_optional("orchestrator")
+    if orch is not None:
+        orch.clear_cache()
+        cleared.append("query")
+        # cascade to downstream nodes (reference gateway/api.py:181-209)
+        if orch.retrieval_executor is None and s.total_nodes > 1:
+            await orch.rpc.clear_cache(s.retrieval_url)
+        if orch.generation_service is None and s.total_nodes > 1:
+            await orch.rpc.clear_cache(s.generation_url)
+    rexec = registry.get_optional("retrieval_executor")
+    if rexec is not None:
+        rexec.search_cache.clear()
+        cleared.append("search")
+    for name in ("embedder", "doc_store"):
+        comp = registry.get_optional(name)
+        if comp is not None and hasattr(comp, "cache"):
+            comp.cache.clear()
+            cleared.append(name)
+    return web.json_response({"cleared": cleared})
+
+
+# -- app assembly -----------------------------------------------------------
+
+
+def create_app(
+    settings: Settings,
+    profile: Profile,
+    registry: ComponentRegistry,
+) -> web.Application:
+    app = web.Application(
+        middlewares=[error_middleware, compression_middleware],
+        client_max_size=256 * 1024 * 1024,
+    )
+    app[SETTINGS_KEY] = settings
+    app[PROFILE_KEY] = profile
+    app[REGISTRY_KEY] = registry
+    app[SCHEDULERS_KEY] = {}
+
+    app.router.add_get("/health", handle_health)
+    app.router.add_get("/metrics", handle_metrics)
+    app.router.add_post("/clear_cache", handle_clear_cache)
+    if "gateway" in profile.routes:
+        app.router.add_post("/query", handle_query)
+    if "retrieval" in profile.routes:
+        app.router.add_post("/retrieve", handle_retrieve)
+    if "generation" in profile.routes:
+        app.router.add_post("/generate", handle_generate)
+
+    async def on_startup(app: web.Application) -> None:
+        # per-service re-batching schedulers (reference retrieval/api.py:302,
+        # generation/api.py:70)
+        if "retrieval" in profile.routes:
+            rexec = registry.get("retrieval_executor")
+            app[SCHEDULERS_KEY]["retrieval"] = BatchScheduler(
+                rexec.process_batch,
+                batch_size=settings.retrieval_batch_size,
+                timeout_s=settings.retrieval_batch_timeout_ms / 1e3,
+                adaptive=settings.adaptive_batching,
+                name="retrieval",
+                run_id=settings.run_id,
+                node=str(settings.node_number),
+            )
+        if "generation" in profile.routes:
+            gsvc = registry.get("generation_service")
+            app[SCHEDULERS_KEY]["generation"] = BatchScheduler(
+                gsvc.process_batch,
+                batch_size=settings.generation_batch_size,
+                timeout_s=settings.generation_batch_timeout_ms / 1e3,
+                adaptive=settings.adaptive_batching,
+                name="generation",
+                run_id=settings.run_id,
+                node=str(settings.node_number),
+            )
+        await registry.start_all()
+
+    async def on_cleanup(app: web.Application) -> None:
+        for sched in app[SCHEDULERS_KEY].values():
+            await sched.stop()
+        await registry.stop_all()
+        registry.unload_all()
+
+    app.on_startup.append(on_startup)
+    app.on_cleanup.append(on_cleanup)
+    return app

@@ -1,0 +1,80 @@
+"""Node entry point: `python -m rag_inference_pipeline_tpu.serve.runtime`
+(or the `ragtpu` console script).
+
+Reference parity (src/pipeline/runtime.py:97-184): settings -> tracing ->
+banner -> profile-driven app assembly -> server with SIGINT/SIGTERM graceful
+shutdown (schedulers flush, registry stops in reverse, weights unload).
+Every node runs this same binary; the YAML profile decides what it hosts.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import signal
+from typing import Optional
+
+from aiohttp import web
+
+from ..core.config import Settings, get_settings
+from ..core.profiles import load_role_profile
+from ..telemetry.tracing import setup_tracing
+from .factory import build_registry
+from .http import create_app
+
+logger = logging.getLogger(__name__)
+
+
+def setup_logging(settings: Settings) -> None:
+    logging.basicConfig(
+        level=getattr(logging, settings.log_level.upper(), logging.INFO),
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+
+
+def build_app(settings: Optional[Settings] = None) -> web.Application:
+    settings = settings or get_settings()
+    profile = load_role_profile(settings)
+    logger.info(
+        "node %d (%s) starting with profile %r: components=%s routes=%s",
+        settings.node_number,
+        settings.node_role.value,
+        profile.name,
+        [c.name for c in profile.components],
+        profile.routes,
+    )
+    registry = build_registry(settings, profile)
+    return create_app(settings, profile, registry)
+
+
+async def serve(settings: Optional[Settings] = None) -> None:
+    settings = settings or get_settings()
+    setup_logging(settings)
+    setup_tracing(settings)
+    app = build_app(settings)
+    runner = web.AppRunner(app)
+    await runner.setup()
+    site = web.TCPSite(runner, settings.listen_host, settings.listen_port)
+    await site.start()
+    logger.info(
+        "listening on %s:%d", settings.listen_host, settings.listen_port
+    )
+
+    stop = asyncio.Event()
+    loop = asyncio.get_running_loop()
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        try:
+            loop.add_signal_handler(sig, stop.set)
+        except NotImplementedError:  # pragma: no cover — non-unix
+            pass
+    await stop.wait()
+    logger.info("shutdown signal received; draining")
+    await runner.cleanup()
+
+
+def main() -> None:
+    asyncio.run(serve())
+
+
+if __name__ == "__main__":
+    main()

@@ -18,6 +18,11 @@ def pick_bucket(n: int, buckets: Sequence[int]) -> int:
     return max(buckets)
 
 
+def chunk_spans(n: int, max_chunk: int):
+    """Split [0, n) into spans of at most max_chunk rows."""
+    return [(s, min(s + max_chunk, n)) for s in range(0, n, max_chunk)]
+
+
 def pad_rows(arr, bucket: int, pad_value=0):
     """Pad axis 0 of a numpy array up to `bucket` rows."""
     import numpy as np

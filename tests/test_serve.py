@@ -1,0 +1,326 @@
+"""In-process integration tests of the HTTP services (SURVEY.md section 4
+item 5: FastAPI TestClient pattern -> aiohttp TestClient here): real tiny
+models + memory doc store + flat index, full end-to-end /query flow in one
+process, plus error taxonomy, payload modes, compression, /health,
+/metrics, /clear_cache.
+"""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from rag_inference_pipeline_tpu.core import (
+    ComponentRegistry,
+    Settings,
+    single_node_profile,
+)
+from rag_inference_pipeline_tpu.index import FlatIndex
+from rag_inference_pipeline_tpu.models.components import (
+    EmbedderComponent,
+    LLMComponent,
+    RerankerComponent,
+    SentimentComponent,
+    ToxicityComponent,
+)
+from rag_inference_pipeline_tpu.serve.compression import compress, decompress
+from rag_inference_pipeline_tpu.serve.factory import build_registry
+from rag_inference_pipeline_tpu.serve.http import create_app
+from rag_inference_pipeline_tpu.utils.docstore import DocumentStore
+
+N_DOCS = 256
+DIM = 64
+
+
+def tiny_settings(**over) -> Settings:
+    base = dict(
+        embedding_model="tiny-embed",
+        reranker_model="tiny-rerank",
+        llm_model="tiny-llm",
+        sentiment_model="tiny-sentiment",
+        toxicity_model="tiny-toxicity",
+        batch_shape_buckets="1,2,4,8",
+        prefill_buckets="32,64",
+        max_tokens=4,
+        truncate_length=64,
+        index_dim=DIM,
+        index_pq_m=8,
+        retrieval_k=5,
+        param_dtype="float32",
+        doc_store_backend="memory",
+        gateway_batch_timeout_ms=10.0,
+        retrieval_batch_timeout_ms=5.0,
+        generation_batch_timeout_ms=5.0,
+    )
+    base.update(over)
+    return Settings(**base)
+
+
+class _FakeMesh:
+    ctx = None
+    is_loaded = True
+
+    def load(self):
+        pass
+
+    def unload(self):
+        pass
+
+
+class _IndexWrapper:
+    """IndexComponent stand-in holding a prebuilt index."""
+
+    def __init__(self, index):
+        self.index = index
+
+    @property
+    def is_loaded(self):
+        return self.index.is_loaded
+
+    def unload(self):
+        self.index.unload()
+
+
+def make_overrides(settings, rng):
+    emb = EmbedderComponent(settings)
+    emb.load()
+    # corpus embedded with the same embedder so retrieval is semantically
+    # consistent end-to-end
+    docs = {
+        i: {"id": i, "title": f"t{i}", "content": f"document body {i} topic{i % 7}"}
+        for i in range(N_DOCS)
+    }
+    vectors = emb.encode([docs[i]["content"] for i in range(N_DOCS)])
+    index = FlatIndex(DIM, dtype="float32", use_fused=False)
+    index.add(vectors)
+    store = DocumentStore(settings, docs=docs)
+    store.load()
+    llm = LLMComponent(settings)
+    llm.load()
+    rr = RerankerComponent(settings)
+    rr.load()
+    sent = SentimentComponent(settings)
+    sent.load()
+    tox = ToxicityComponent(settings)
+    tox.load()
+    return {
+        "mesh": _FakeMesh(),
+        "embedder": emb,
+        "index": _IndexWrapper(index),
+        "doc_store": store,
+        "reranker": rr,
+        "llm": llm,
+        "sentiment": sent,
+        "toxicity": tox,
+    }
+
+
+def run_app_test(settings, coro_fn, overrides=None):
+    async def main():
+        rng = np.random.default_rng(0)
+        ov = overrides if overrides is not None else make_overrides(settings, rng)
+        profile = single_node_profile()
+        registry = build_registry(settings, profile, overrides=ov)
+        app = create_app(settings, profile, registry)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            await coro_fn(client)
+        finally:
+            await client.close()
+
+    asyncio.new_event_loop().run_until_complete(main())
+
+
+class TestEndToEnd:
+    def test_query_full_pipeline(self):
+        s = tiny_settings()
+
+        async def check(client):
+            resp = await client.post(
+                "/query", json={"query": "tell me about topic3"}
+            )
+            assert resp.status == 200, await resp.text()
+            body = await resp.json()
+            assert set(body) == {
+                "request_id", "generated_response", "sentiment", "is_toxic",
+            }
+            assert isinstance(body["generated_response"], str)
+            # cache hit path: same normalized query, new request id
+            resp2 = await client.post(
+                "/query", json={"query": "  TELL me about topic3 "}
+            )
+            b2 = await resp2.json()
+            assert b2["generated_response"] == body["generated_response"]
+            assert b2["request_id"] != body["request_id"]
+
+        run_app_test(s, check)
+
+    def test_query_validation_400(self):
+        s = tiny_settings()
+
+        async def check(client):
+            resp = await client.post("/query", json={"query": "   "})
+            assert resp.status == 400
+            body = await resp.json()
+            assert body["error_type"] == "validation"
+            resp = await client.post("/query", data=b"not json")
+            assert resp.status == 400
+
+        run_app_test(s, check)
+
+    def test_retrieve_with_embedding_and_query(self):
+        s = tiny_settings()
+
+        async def check(client):
+            # query-text path
+            resp = await client.post(
+                "/retrieve", json={"items": [{"query": "topic2 text"}]}
+            )
+            assert resp.status == 200, await resp.text()
+            body = await resp.json()
+            r = body["results"][0]
+            assert len(r["ids"]) == 5 and len(r["documents"]) == 5
+            # provided-embedding path must match searching that vector
+            emb = [0.1] * DIM
+            resp = await client.post(
+                "/retrieve",
+                json={"items": [{"embedding": emb, "k": 3}]},
+            )
+            body = await resp.json()
+            assert len(body["results"][0]["ids"]) == 3
+
+        run_app_test(s, check)
+
+    def test_generate_direct(self):
+        s = tiny_settings()
+
+        async def check(client):
+            resp = await client.post(
+                "/generate",
+                json={
+                    "items": [
+                        {
+                            "query": "what is this",
+                            "documents": [
+                                {"id": 1, "content": "some context"}
+                            ],
+                        }
+                    ]
+                },
+            )
+            assert resp.status == 200, await resp.text()
+            body = await resp.json()
+            r = body["results"][0]
+            assert {"generated_response", "sentiment", "is_toxic"} <= set(r)
+
+        run_app_test(s, check)
+
+    def test_health_and_metrics(self):
+        s = tiny_settings()
+
+        async def check(client):
+            resp = await client.get("/health")
+            assert resp.status == 200
+            body = await resp.json()
+            assert body["status"] == "ok" and body["role"] == "gateway"
+            assert body["components"]["llm"] is True
+            assert "llm" in body["random_weights"]  # offline mode flagged
+            resp = await client.get("/metrics")
+            text = await resp.text()
+            assert "pipeline_requests_total" in text
+
+        run_app_test(s, check)
+
+    def test_clear_cache(self):
+        s = tiny_settings()
+
+        async def check(client):
+            await client.post("/query", json={"query": "warm the cache"})
+            resp = await client.post("/clear_cache", json={})
+            assert resp.status == 200
+            body = await resp.json()
+            assert "query" in body["cleared"] and "search" in body["cleared"]
+
+        run_app_test(s, check)
+
+    def test_id_only_payload_mode(self):
+        s = tiny_settings(documents_payload_mode="id_only")
+
+        async def check(client):
+            resp = await client.post(
+                "/retrieve", json={"items": [{"query": "topic1"}]}
+            )
+            body = await resp.json()
+            r = body["results"][0]
+            assert "documents" not in r and len(r["ids"]) == 5
+            # full /query still works: generation fetches by id locally
+            resp = await client.post("/query", json={"query": "about topic1"})
+            assert resp.status == 200, await resp.text()
+
+        run_app_test(s, check)
+
+    def test_compressed_payload_mode(self):
+        s = tiny_settings(documents_payload_mode="compressed")
+
+        async def check(client):
+            resp = await client.post(
+                "/retrieve", json={"items": [{"query": "topic5"}]}
+            )
+            body = await resp.json()
+            r = body["results"][0]
+            assert r.get("compressed_docs")
+            resp = await client.post("/query", json={"query": "about topic5"})
+            assert resp.status == 200, await resp.text()
+
+        run_app_test(s, check)
+
+    def test_zstd_request_response_compression(self):
+        s = tiny_settings(compression_min_bytes=10)
+
+        async def check(client):
+            payload = json.dumps(
+                {"items": [{"query": "compressed topic2 request " * 20}]}
+            ).encode()
+            body, was = compress(payload, min_bytes=10)
+            assert was
+            resp = await client.post(
+                "/retrieve",
+                data=body,
+                headers={
+                    "X-Ragtpu-Encoding": "zstd",
+                    "X-Ragtpu-Accept-Encoding": "zstd",
+                    "Content-Type": "application/json",
+                },
+            )
+            assert resp.status == 200, await resp.text()
+            # aiohttp does not auto-decode zstd; decompress manually
+            raw = await resp.read()
+            out = json.loads(decompress(raw))
+            assert out["results"][0]["ids"]
+
+        run_app_test(s, check)
+
+    def test_readiness_503(self):
+        s = tiny_settings()
+
+        class _EmptyIndex:
+            index = None
+            is_loaded = False
+
+            def unload(self):
+                pass
+
+        async def check(client):
+            resp = await client.post(
+                "/retrieve", json={"items": [{"query": "x"}]}
+            )
+            assert resp.status == 503
+            body = await resp.json()
+            assert body["error_type"] == "unavailable"
+
+        ov = make_overrides(s, np.random.default_rng(0))
+        ov["index"] = _EmptyIndex()
+        run_app_test(s, check, overrides=ov)
