@@ -1,0 +1,156 @@
+"""Device-resident RAG pipeline: embed -> ANN -> context-build -> decode as
+ONE jitted program over the mesh.
+
+This is the TPU-native replacement for the reference's inter-node HTTP hops
+(SURVEY.md section 2.6, BASELINE.json north star: "retrieved documents never
+bounce through host memory"): the document *token* store lives in HBM
+alongside the vector index, retrieval indices gather context tokens on
+device, and the decoder consumes them directly. The host only sees final
+token ids.
+
+Sharding: database rows + query batch over `dp`, transformer weights
+Megatron-TP over `tp` (parallel/sharding.py); XLA places the all-gather for
+the top-k merge and the psums for TP over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.mesh import DP_AXIS, MeshContext
+from ..models.bert import BertConfig, bert_embed
+from ..models.qwen import QwenConfig, greedy_generate
+from ..ops.topk import exact_topk, fused_topk, sharded_topk
+from ..parallel.sharding import (
+    batch_sharding,
+    bert_param_sharding,
+    qwen_param_sharding,
+    shard_params,
+)
+
+
+class RAGStepOutput(NamedTuple):
+    tokens: jax.Array  # [B, max_new] generated token ids
+    doc_ids: jax.Array  # [B, k] retrieved row ids
+    scores: jax.Array  # [B, k] retrieval scores
+
+
+@dataclass
+class DeviceRAGPipeline:
+    """Holds device state + the compiled fused step."""
+
+    mesh: MeshContext
+    bert_cfg: BertConfig
+    qwen_cfg: QwenConfig
+    k: int = 5
+    ctx_docs: int = 3
+    doc_tok_len: int = 32
+    max_new_tokens: int = 16
+    use_fused_topk: bool = False
+
+    def build(
+        self,
+        bert_params: dict,
+        qwen_params: dict,
+        db: np.ndarray,  # [N, D] corpus embeddings
+        doc_tokens: np.ndarray,  # [N, doc_tok_len] int32 doc token ids
+    ) -> None:
+        ctx = self.mesh
+        self.bert_params = shard_params(
+            ctx, bert_params, bert_param_sharding(ctx, bert_params)
+        )
+        self.qwen_params = shard_params(
+            ctx, qwen_params, qwen_param_sharding(ctx, qwen_params)
+        )
+        n = db.shape[0]
+        dp = ctx.dp
+        n_pad = ((n + dp - 1) // dp) * dp
+        if n_pad != n:
+            db = np.concatenate([db, np.zeros((n_pad - n, db.shape[1]), db.dtype)])
+        self.db = ctx.put(jnp.asarray(db), ctx.rows_dp)
+        # token store is replicated: the gather by global row id happens on
+        # every device after the top-k merge (k is tiny)
+        self.doc_tokens = ctx.put(jnp.asarray(doc_tokens, jnp.int32))
+        self.ntotal = n
+        self._step = jax.jit(
+            functools.partial(
+                _rag_step,
+                mesh=ctx,
+                bert_cfg=self.bert_cfg,
+                qwen_cfg=self.qwen_cfg,
+                k=self.k,
+                ctx_docs=self.ctx_docs,
+                max_new_tokens=self.max_new_tokens,
+                use_fused=self.use_fused_topk,
+            ),
+            static_argnames=(),
+        )
+
+    def step(self, query_tokens: np.ndarray, query_mask: np.ndarray) -> RAGStepOutput:
+        ctx = self.mesh
+        qt = ctx.put(jnp.asarray(query_tokens, jnp.int32), batch_sharding(ctx))
+        qm = ctx.put(jnp.asarray(query_mask, jnp.int32), batch_sharding(ctx))
+        return self._step(
+            self.bert_params, self.qwen_params, self.db, self.doc_tokens, qt, qm
+        )
+
+
+def _rag_step(
+    bert_params,
+    qwen_params,
+    db,
+    doc_tokens,
+    query_tokens,
+    query_mask,
+    *,
+    mesh: MeshContext,
+    bert_cfg: BertConfig,
+    qwen_cfg: QwenConfig,
+    k: int,
+    ctx_docs: int,
+    max_new_tokens: int,
+    use_fused: bool,
+):
+    # 1. embed queries (TP over heads/FFN, batch over dp)
+    emb = bert_embed(bert_params, bert_cfg, query_tokens, query_mask)
+
+    # 2. ANN over the dp-sharded database; all-gather merge of per-shard top-k
+    if mesh.dp > 1:
+        scores, ids = sharded_topk(mesh, emb, db, k, use_fused=use_fused)
+    elif use_fused:
+        scores, ids = fused_topk(emb.astype(db.dtype), db, k)
+    else:
+        scores, ids = exact_topk(emb.astype(db.dtype), db, k)
+
+    # 3. build decoder context from device-resident doc tokens: top ctx_docs
+    #    docs' tokens + the query tokens, all static shapes
+    b = query_tokens.shape[0]
+    ctx_ids = ids[:, :ctx_docs]  # [B, C]
+    ctx_toks = jnp.take(doc_tokens, jnp.clip(ctx_ids, 0), axis=0)  # [B, C, L]
+    ctx_flat = ctx_toks.reshape(b, -1)
+    ctx_mask = (ctx_flat > 0).astype(jnp.int32)
+    prompt = jnp.concatenate([ctx_flat, query_tokens], axis=1)
+    pmask = jnp.concatenate([ctx_mask, query_mask], axis=1)
+    # the decoder requires right-padded prompts (prefill writes the cache
+    # contiguously); compact the holes left by per-doc padding
+    order = jnp.argsort(1 - pmask, axis=1, stable=True)
+    prompt = jnp.take_along_axis(prompt, order, axis=1)
+    pmask = jnp.take_along_axis(pmask, order, axis=1)
+
+    # 4. greedy decode with KV cache
+    toks = greedy_generate(
+        qwen_params,
+        qwen_cfg,
+        prompt,
+        pmask,
+        max_new_tokens,
+        eos_token_id=-1,
+        cache_len=prompt.shape[1] + max_new_tokens,
+    )
+    return RAGStepOutput(tokens=toks, doc_ids=ids, scores=scores)

@@ -1,0 +1,107 @@
+"""Parameter/activation sharding rules over the dp x tp mesh.
+
+This supplies the tensor/data parallelism the reference entirely lacks
+(SURVEY.md section 2.5: TP/PP/SP all absent upstream — here they're
+first-class). Megatron-style TP for transformer blocks:
+
+- attention qkv projections column-parallel (heads split over tp),
+  output projection row-parallel (psum inserted by XLA);
+- MLP gate/up column-parallel, down row-parallel;
+- embeddings replicated (vocab small enough per-chip at 0.5B scale);
+- activations sharded batch-over-dp.
+
+Shardings are declared via NamedSharding constraints on params + jit
+in/out shardings; XLA inserts the all-reduces over ICI (scaling-book
+recipe: pick a mesh, annotate, let the compiler place collectives).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core.mesh import DP_AXIS, TP_AXIS, MeshContext
+
+
+def _ns(mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def qwen_param_sharding(mesh_ctx: MeshContext, params: dict) -> dict:
+    """Sharding pytree matching models.qwen.init_qwen_params layout."""
+    m = mesh_ctx.mesh
+    repl = _ns(m)
+    col = _ns(m, None, TP_AXIS)  # [in, out]: split output features
+    row = _ns(m, TP_AXIS, None)  # [in, out]: split input features
+    out: dict[str, Any] = {
+        "embed": repl,
+        "final_ln": repl,
+        "layers": [],
+    }
+    if "lm_head" in params:
+        out["lm_head"] = col
+    for lp in params["layers"]:
+        ls = {
+            "in_ln": repl,
+            "q_w": col,
+            "k_w": col,
+            "v_w": col,
+            "o_w": row,
+            "post_ln": repl,
+            "gate_w": col,
+            "up_w": col,
+            "down_w": row,
+        }
+        if "q_b" in lp:
+            ls["q_b"] = _ns(m, TP_AXIS)
+            ls["k_b"] = _ns(m, TP_AXIS)
+            ls["v_b"] = _ns(m, TP_AXIS)
+        out["layers"].append(ls)
+    return out
+
+
+def bert_param_sharding(mesh_ctx: MeshContext, params: dict) -> dict:
+    m = mesh_ctx.mesh
+    repl = _ns(m)
+    col = _ns(m, None, TP_AXIS)
+    row = _ns(m, TP_AXIS, None)
+    out: dict[str, Any] = {
+        "embeddings": {k: repl for k in params["embeddings"]},
+        "layers": [],
+        "pooler": {"w": repl, "b": repl},
+    }
+    if "classifier" in params:
+        out["classifier"] = {"w": repl, "b": repl}
+    for lp in params["layers"]:
+        ls = {}
+        for k in lp:
+            if k in ("q_w", "k_w", "v_w", "ffn_in_w"):
+                ls[k] = col
+            elif k in ("o_w", "ffn_out_w"):
+                ls[k] = row
+            elif k in ("q_b", "k_b", "v_b", "ffn_in_b"):
+                ls[k] = _ns(m, TP_AXIS)
+            else:
+                ls[k] = repl
+        out["layers"].append(ls)
+    return out
+
+
+def shard_params(mesh_ctx: MeshContext, params: dict, shardings: dict) -> dict:
+    """device_put the param pytree with its sharding pytree."""
+    return jax.tree.map(
+        lambda p, s: jax.device_put(p, s), params, shardings,
+        is_leaf=lambda x: not isinstance(x, (dict, list)),
+    )
+
+
+def batch_sharding(mesh_ctx: MeshContext) -> NamedSharding:
+    """Activations: batch dim over dp, everything else replicated."""
+    return _ns(mesh_ctx.mesh, DP_AXIS)
+
+
+def kv_cache_sharding(mesh_ctx: MeshContext) -> NamedSharding:
+    """KVCache arrays [L, B, S, Hkv, Dh]: batch over dp, kv heads over tp."""
+    return _ns(mesh_ctx.mesh, None, DP_AXIS, None, TP_AXIS, None)
