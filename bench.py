@@ -31,6 +31,10 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=16)
     args = p.parse_args()
 
+    from rag_inference_pipeline_tpu.core.bootstrap import bootstrap
+
+    bootstrap()
+
     import jax
     import jax.numpy as jnp
 

@@ -48,6 +48,9 @@ def build_app(settings: Optional[Settings] = None) -> web.Application:
 
 
 async def serve(settings: Optional[Settings] = None) -> None:
+    from ..core.bootstrap import bootstrap
+
+    bootstrap()
     settings = settings or get_settings()
     setup_logging(settings)
     setup_tracing(settings)
