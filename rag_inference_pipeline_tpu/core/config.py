@@ -137,6 +137,8 @@ class Settings(BaseModel):
     run_id: str = "dev"
 
     # --- generation decode engine ---
+    use_continuous_batching: bool = False  # persistent-lane decode engine
+    decode_segment_steps: int = 8
     decode_max_concurrency: int = 32  # continuous-batching lanes
     prefill_buckets: str = "128,256,512"
     kv_cache_max_len: int = 1024

@@ -1,0 +1,263 @@
+"""Continuous-batching decode engine: persistent lanes, segment decoding,
+recompile-free admission.
+
+The reference decodes each batch to completion with left-pad batching
+(reference components/llm.py:368-459) — short generations wait for the
+longest. This engine is the TPU-idiomatic upgrade (SURVEY.md section 7.4
+item 3, BASELINE.json configs[4] "continuous-batched LLM generation"):
+
+- a fixed pool of `lanes` decode slots shares one static-shape KV cache
+  [L, lanes, S, Hkv, Dh] — shapes never change, so XLA compiles exactly
+  two programs: prefill-and-scatter (per admit/prefill bucket) and an
+  8-step decode segment;
+- new requests are admitted into free lanes *between segments*: prompt KV
+  is computed in a bucketed prefill and scattered into the lane cache;
+- finished lanes (eos / length cap) free up every segment boundary, so a
+  short generation never waits on a long one.
+
+The async wrapper exposes `submit(prompt_ids) -> future(tokens)`; the
+engine loop drains admissions and runs segments while any lane is live.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import functools
+import logging
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.layers import KVCache
+from ..models.qwen import QwenConfig, qwen_decode_step, qwen_prefill
+from ..utils.shapes import pad_rows, pick_bucket
+
+logger = logging.getLogger(__name__)
+
+
+# -- jitted cores ----------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "eos"), donate_argnums=(1,))
+def _admit(
+    params,
+    cache: KVCache,  # [L, lanes, S, ...] pool cache (donated)
+    tokens,  # [lanes] last token per lane
+    done,  # [lanes] bool
+    prompt_ids,  # [A, P] right-padded admit bucket
+    prompt_mask,  # [A, P]
+    lane_ids,  # [A] target lanes
+    *,
+    cfg: QwenConfig,
+    eos: int,
+):
+    """Prefill the admitted prompts and scatter KV + state into their lanes."""
+    a, p = prompt_ids.shape
+    s = cache.k.shape[2]
+    mini = KVCache.zeros(
+        cfg.layers, a, s, cfg.kv_heads, cfg.head_dim, dtype=cache.k.dtype
+    )
+    logits, mini = qwen_prefill(params, cfg, prompt_ids, prompt_mask, mini)
+    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    # padding rows carry an out-of-range lane id and are dropped by the
+    # scatter — no spare lane needed, no duplicate-index hazards
+    k = cache.k.at[:, lane_ids].set(mini.k, mode="drop")
+    v = cache.v.at[:, lane_ids].set(mini.v, mode="drop")
+    length = cache.length.at[lane_ids].set(mini.length, mode="drop")
+    tokens = tokens.at[lane_ids].set(first, mode="drop")
+    done = done.at[lane_ids].set(first == eos, mode="drop")
+    return KVCache(k=k, v=v, length=length), tokens, done, first
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "steps", "eos"), donate_argnums=(1,)
+)
+def _segment(
+    params,
+    cache: KVCache,  # donated
+    tokens,
+    done,
+    *,
+    cfg: QwenConfig,
+    steps: int,
+    eos: int,
+):
+    """Decode `steps` tokens for every lane. Returns emitted [lanes, steps]."""
+    s = cache.k.shape[2]
+
+    def body(carry, _):
+        cache, tokens, done = carry
+        logits, cache = qwen_decode_step(params, cfg, tokens, cache)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, eos, nxt)
+        done = jnp.logical_or(done, nxt == eos)
+        done = jnp.logical_or(done, cache.length >= s - 1)
+        return (cache, nxt, done), nxt
+
+    (cache, tokens, done), emitted = jax.lax.scan(
+        body, (cache, tokens, done), None, length=steps
+    )
+    return cache, tokens, done, emitted.T  # [lanes, steps]
+
+
+# -- engine ----------------------------------------------------------------
+
+
+@dataclass
+class _Request:
+    prompt_ids: np.ndarray  # [P] unpadded
+    max_new_tokens: int
+    future: asyncio.Future
+    lane: int = -1
+    emitted: list = field(default_factory=list)
+
+
+class DecodeEngine:
+    """Async continuous-batching wrapper around the jitted cores."""
+
+    def __init__(
+        self,
+        params,
+        cfg: QwenConfig,
+        *,
+        lanes: int = 8,
+        cache_len: int = 512,
+        segment_steps: int = 8,
+        eos_token_id: int = 2,
+        admit_buckets: tuple[int, ...] = (1, 2, 4, 8),
+        prefill_buckets: tuple[int, ...] = (64, 128, 256),
+    ) -> None:
+        self.params = params
+        self.cfg = cfg
+        self.lanes = lanes
+        self.cache_len = cache_len
+        self.segment_steps = segment_steps
+        self.eos = eos_token_id
+        self.admit_buckets = tuple(b for b in admit_buckets if b <= lanes) or (1,)
+        self.prefill_buckets = prefill_buckets
+        self.cache = KVCache.zeros(
+            cfg.layers, lanes, cache_len, cfg.kv_heads, cfg.head_dim,
+            dtype=jnp.bfloat16 if params["embed"].dtype == jnp.bfloat16 else jnp.float32,
+        )
+        self.tokens = jnp.zeros((lanes,), jnp.int32)
+        self.done = jnp.ones((lanes,), bool)
+        self._lane_req: list[Optional[_Request]] = [None] * lanes
+        self._waiting: asyncio.Queue[_Request] = asyncio.Queue()
+        self._loop_task: Optional[asyncio.Task] = None
+        self._wake = asyncio.Event()
+        self._stopped = False
+
+    # -- public API --------------------------------------------------------
+    async def start(self) -> None:
+        if self._loop_task is None:
+            self._loop_task = asyncio.create_task(self._run())
+
+    async def stop(self) -> None:
+        self._stopped = True
+        self._wake.set()
+        if self._loop_task is not None:
+            await self._loop_task
+            self._loop_task = None
+
+    async def submit(
+        self, prompt_ids: np.ndarray, max_new_tokens: int
+    ) -> list[int]:
+        """Returns generated token ids (eos excluded)."""
+        fut = asyncio.get_running_loop().create_future()
+        await self._waiting.put(
+            _Request(np.asarray(prompt_ids, np.int32), max_new_tokens, fut)
+        )
+        self._wake.set()
+        return await fut
+
+    @property
+    def active_lanes(self) -> int:
+        return sum(r is not None for r in self._lane_req)
+
+    # -- engine loop -------------------------------------------------------
+    async def _run(self) -> None:
+        while not self._stopped:
+            admitted = self._admit_waiting()
+            if self.active_lanes == 0:
+                if self._waiting.empty():
+                    self._wake.clear()
+                    try:
+                        await asyncio.wait_for(self._wake.wait(), timeout=1.0)
+                    except asyncio.TimeoutError:
+                        pass
+                    continue
+                continue
+            await asyncio.get_running_loop().run_in_executor(
+                None, self._decode_segment_sync
+            )
+        # drain on stop: fail anything still queued
+        for r in self._lane_req:
+            if r is not None and not r.future.done():
+                r.future.set_result([t for t in r.emitted if t != self.eos])
+        while not self._waiting.empty():
+            r = self._waiting.get_nowait()
+            if not r.future.done():
+                r.future.set_exception(RuntimeError("decode engine stopped"))
+
+    def _admit_waiting(self) -> int:
+        free = [i for i, r in enumerate(self._lane_req) if r is None]
+        batch: list[_Request] = []
+        while free and not self._waiting.empty() and len(batch) < max(self.admit_buckets):
+            req = self._waiting.get_nowait()
+            req.lane = free.pop(0)
+            batch.append(req)
+        if not batch:
+            return 0
+        a = pick_bucket(len(batch), self.admit_buckets)
+        longest = max(len(r.prompt_ids) for r in batch)
+        cap = self.cache_len - max(r.max_new_tokens for r in batch) - 1
+        p = min(pick_bucket(min(longest, cap), self.prefill_buckets + (cap,)), cap)
+        ids = np.zeros((a, p), np.int32)
+        mask = np.zeros((a, p), np.int32)
+        # padding rows get lane id == lanes (out of range) -> dropped scatter
+        lanes = np.full((a,), self.lanes, np.int32)
+        for j, r in enumerate(batch):
+            trunc = r.prompt_ids[:p]
+            ids[j, : len(trunc)] = trunc
+            mask[j, : len(trunc)] = 1
+            lanes[j] = r.lane
+        mask[len(batch):, 0] = 1  # keep position math valid on pad rows
+        ids[len(batch):, 0] = 1
+        self.cache, self.tokens, self.done, first = _admit(
+            self.params, self.cache, self.tokens, self.done,
+            jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(lanes),
+            cfg=self.cfg, eos=self.eos,
+        )
+        first_np = np.asarray(first)
+        for j, r in enumerate(batch):
+            r.emitted.append(int(first_np[j]))
+            self._lane_req[r.lane] = r
+        return len(batch)
+
+    def _decode_segment_sync(self) -> None:
+        self.cache, self.tokens, self.done, emitted = _segment(
+            self.params, self.cache, self.tokens, self.done,
+            cfg=self.cfg, steps=self.segment_steps, eos=self.eos,
+        )
+        em = np.asarray(emitted)
+        done_np = np.asarray(self.done)
+        for lane, req in enumerate(self._lane_req):
+            if req is None:
+                continue
+            req.emitted.extend(int(t) for t in em[lane])
+            finished = done_np[lane] or len(req.emitted) >= req.max_new_tokens
+            if finished:
+                toks = req.emitted
+                if self.eos in toks:
+                    toks = toks[: toks.index(self.eos)]
+                toks = toks[: req.max_new_tokens]
+                if not req.future.done():
+                    req.future.get_loop().call_soon_threadsafe(
+                        lambda f=req.future, t=toks: (
+                            f.set_result(t) if not f.done() else None
+                        )
+                    )
+                self._lane_req[lane] = None

@@ -252,6 +252,10 @@ class Orchestrator:
                 entry["doc_ids"] = ret.get("ids", [])
             payload_items.append(entry)
         if self.generation_service is not None:
+            if self.settings.use_continuous_batching:
+                return await self.generation_service.process_batch_async(
+                    payload_items
+                )
             return await asyncio.get_running_loop().run_in_executor(
                 None, self.generation_service.process_batch, payload_items
             )

@@ -374,6 +374,54 @@ class LLMComponent:
     def generate(self, query: str, docs: Sequence[dict]) -> str:
         return self.generate_batch([query], [docs])[0]
 
+    # -- continuous-batching engine mode ------------------------------------
+    async def start(self) -> None:
+        """Spin up the persistent-lane decode engine when enabled
+        (settings.use_continuous_batching; engine/decode_engine.py)."""
+        s = self.settings
+        if not s.use_continuous_batching or not self.is_loaded:
+            return
+        from ..engine.decode_engine import DecodeEngine
+
+        self.engine = DecodeEngine(
+            self.params,
+            self.cfg,
+            lanes=s.decode_max_concurrency,
+            cache_len=s.kv_cache_max_len,
+            segment_steps=s.decode_segment_steps,
+            eos_token_id=self.tokenizer.eos_id,
+            admit_buckets=s.shape_buckets,
+            prefill_buckets=s.prefill_bucket_list,
+        )
+        await self.engine.start()
+
+    async def stop(self) -> None:
+        eng = getattr(self, "engine", None)
+        if eng is not None:
+            await eng.stop()
+            self.engine = None
+
+    async def generate_batch_engine(
+        self, queries: Sequence[str], docs_batch: Sequence[Sequence[dict]],
+        max_new_tokens: Optional[int] = None,
+    ) -> list[str]:
+        """Per-request submission into the decode engine — short generations
+        return as soon as their lane finishes, independent of the batch."""
+        import asyncio
+
+        eng = getattr(self, "engine", None)
+        if eng is None:
+            raise RuntimeError("decode engine not started")
+        s = self.settings
+        max_new = max_new_tokens or s.max_tokens
+        cap = min(s.truncate_length, self.cfg.max_len - max_new)
+        outs = []
+        for q, d in zip(queries, docs_batch):
+            ids, mask = self.tokenizer.encode(self.build_prompt(q, d), cap)
+            outs.append(eng.submit(ids[: int(mask.sum())], max_new))
+        token_lists = await asyncio.gather(*outs)
+        return [self.tokenizer.decode(t) for t in token_lists]
+
 
 _SENTIMENT_LABELS = [
     "very negative", "negative", "neutral", "positive", "very positive",

@@ -254,8 +254,13 @@ def create_app(
             )
         if "generation" in profile.routes:
             gsvc = registry.get("generation_service")
+            gen_fn = (
+                gsvc.process_batch_async
+                if settings.use_continuous_batching
+                else gsvc.process_batch
+            )
             app[SCHEDULERS_KEY]["generation"] = BatchScheduler(
-                gsvc.process_batch,
+                gen_fn,
                 batch_size=settings.generation_batch_size,
                 timeout_s=settings.generation_batch_timeout_ms / 1e3,
                 adaptive=settings.adaptive_batching,

@@ -280,6 +280,48 @@ class GenerationService:
             )
         return out
 
+    async def process_batch_async(self, items: list[dict]) -> list[dict]:
+        """Engine-mode batch path: rerank/classify stay bucketed-batch, the
+        LLM stage fans out into the continuous-batching decode engine."""
+        import asyncio
+
+        why = self.ready()
+        if why:
+            raise RuntimeError(f"generation not ready: {why}")
+        loop = asyncio.get_running_loop()
+        queries = [it.get("query", "") for it in items]
+        docs_batch = [self._prepare_documents(it) for it in items]
+        if self.reranker is not None and self.reranker.is_loaded:
+            docs_batch = await loop.run_in_executor(
+                None,
+                lambda: self.reranker.rerank_batch(
+                    queries, docs_batch, top_n=self.settings.rerank_top_n
+                ),
+            )
+        else:
+            docs_batch = [d[: self.settings.rerank_top_n] for d in docs_batch]
+        t0 = time.monotonic()
+        texts = await self.llm.generate_batch_engine(queries, docs_batch)
+        self._timer.observe("llm", time.monotonic() - t0)
+        if self.sentiment is not None and self.sentiment.is_loaded:
+            sentiments = await loop.run_in_executor(
+                None, self.sentiment.analyze_batch, texts
+            )
+        else:
+            sentiments = ["neutral"] * len(texts)
+        if self.toxicity is not None and self.toxicity.is_loaded:
+            tox = await loop.run_in_executor(None, self.toxicity.check_batch, texts)
+        else:
+            tox = [(False, 0.0)] * len(texts)
+        return [
+            {
+                "generated_response": TOXIC_PLACEHOLDER if is_toxic else text,
+                "sentiment": sent,
+                "is_toxic": is_toxic,
+            }
+            for text, sent, (is_toxic, _s) in zip(texts, sentiments, tox)
+        ]
+
     def _prepare_documents(self, item: dict) -> list[dict]:
         """Decompress / fetch-by-id handoff (reference service.py:420-460)."""
         if item.get("compressed_docs"):

@@ -1,0 +1,113 @@
+"""Continuous-batching decode engine: results must be IDENTICAL to solo
+greedy decoding — interleaving lanes must not change any sequence's tokens.
+"""
+
+import asyncio
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rag_inference_pipeline_tpu.engine.decode_engine import DecodeEngine
+from rag_inference_pipeline_tpu.models.qwen import (
+    QwenConfig,
+    greedy_generate,
+    init_qwen_params,
+)
+
+CFG = QwenConfig.tiny()
+PARAMS = init_qwen_params(jax.random.key(0), CFG)
+EOS = CFG.vocab_size - 1  # unlikely to be emitted by a random model
+
+
+def solo_greedy(prompt: np.ndarray, max_new: int) -> list[int]:
+    ids = jnp.asarray(prompt[None, :], jnp.int32)
+    mask = jnp.ones_like(ids)
+    toks = np.asarray(
+        greedy_generate(
+            PARAMS, CFG, ids, mask, max_new, eos_token_id=EOS,
+            cache_len=len(prompt) + max_new,
+        )
+    )[0]
+    out = toks.tolist()
+    if EOS in out:
+        out = out[: out.index(EOS)]
+    return out
+
+
+def run(coro):
+    return asyncio.new_event_loop().run_until_complete(coro)
+
+
+def make_engine(lanes=4, cache_len=64, segment_steps=4):
+    return DecodeEngine(
+        PARAMS, CFG, lanes=lanes, cache_len=cache_len,
+        segment_steps=segment_steps, eos_token_id=EOS,
+        admit_buckets=(1, 2, 4), prefill_buckets=(8, 16),
+    )
+
+
+class TestDecodeEngine:
+    def test_single_request_matches_solo(self, rng):
+        prompt = rng.integers(1, 400, 6).astype(np.int32)
+
+        async def main():
+            eng = make_engine()
+            await eng.start()
+            out = await eng.submit(prompt, 8)
+            await eng.stop()
+            return out
+
+        # engine prompts pad to prefill bucket 8; solo must use the same
+        # padded-to-8? No: right-padded with mask — positions identical.
+        assert run(main()) == solo_greedy(prompt, 8)
+
+    def test_concurrent_requests_match_solo(self, rng):
+        prompts = [rng.integers(1, 400, int(n)).astype(np.int32) for n in (3, 5, 7, 4, 6, 8)]
+        max_new = [6, 10, 4, 8, 5, 7]
+
+        async def main():
+            eng = make_engine(lanes=3, segment_steps=3)  # forces queueing
+            await eng.start()
+            outs = await asyncio.gather(
+                *(eng.submit(p, m) for p, m in zip(prompts, max_new))
+            )
+            await eng.stop()
+            return outs
+
+        outs = run(main())
+        for p, m, o in zip(prompts, max_new, outs):
+            assert o == solo_greedy(p, m), f"prompt len {len(p)} diverged"
+
+    def test_staggered_admission(self, rng):
+        """Late requests join while early ones are mid-decode."""
+        p1 = rng.integers(1, 400, 5).astype(np.int32)
+        p2 = rng.integers(1, 400, 6).astype(np.int32)
+
+        async def main():
+            eng = make_engine(lanes=2, segment_steps=2)
+            await eng.start()
+            t1 = asyncio.ensure_future(eng.submit(p1, 12))
+            await asyncio.sleep(0.2)  # p1 is mid-flight
+            t2 = asyncio.ensure_future(eng.submit(p2, 6))
+            o1, o2 = await asyncio.gather(t1, t2)
+            await eng.stop()
+            return o1, o2
+
+        o1, o2 = run(main())
+        assert o1 == solo_greedy(p1, 12)
+        assert o2 == solo_greedy(p2, 6)
+
+    def test_stop_drains(self, rng):
+        prompt = rng.integers(1, 400, 4).astype(np.int32)
+
+        async def main():
+            eng = make_engine()
+            await eng.start()
+            out = await eng.submit(prompt, 4)
+            await eng.stop()
+            assert eng.active_lanes == 0
+            return out
+
+        assert len(run(main())) <= 4

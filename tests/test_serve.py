@@ -324,3 +324,29 @@ class TestEndToEnd:
         ov = make_overrides(s, np.random.default_rng(0))
         ov["index"] = _EmptyIndex()
         run_app_test(s, check, overrides=ov)
+
+
+class TestContinuousBatching:
+    def test_query_with_decode_engine(self):
+        s = tiny_settings(
+            use_continuous_batching=True,
+            decode_max_concurrency=4,
+            kv_cache_max_len=96,
+            decode_segment_steps=4,
+        )
+
+        async def check(client):
+            import asyncio as aio
+
+            resps = await aio.gather(
+                *(
+                    client.post("/query", json={"query": f"question {i} topic{i}"})
+                    for i in range(5)
+                )
+            )
+            for r in resps:
+                assert r.status == 200, await r.text()
+                body = await r.json()
+                assert isinstance(body["generated_response"], str)
+
+        run_app_test(s, check)
