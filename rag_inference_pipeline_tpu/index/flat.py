@@ -15,7 +15,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.mesh import MeshContext
-from ..ops.topk import exact_topk, fused_topk, sharded_topk
+from ..ops.topk import (
+    exact_topk,
+    fused_topk,
+    fused_topk_int8,
+    quantize_rows_int8,
+    sharded_topk,
+)
 from .base import BaseIndex, save_npz, storage_dtype
 
 
@@ -34,6 +40,8 @@ class FlatIndex(BaseIndex):
         chunk: int = 4096,
     ) -> None:
         super().__init__(dim, metric)
+        if dtype == "int8" and metric != "ip":
+            raise ValueError("int8 storage supports metric='ip' only")
         self.dtype_name = dtype
         self.mesh = mesh
         self.nbins = nbins
@@ -43,6 +51,8 @@ class FlatIndex(BaseIndex):
         self.use_fused = use_fused
         self._db: Optional[jax.Array] = None
         self._db_sq: Optional[jax.Array] = None
+        self._db_i8: Optional[jax.Array] = None  # SQ8 storage mode
+        self._db_scales: Optional[jax.Array] = None
 
     # -- build ------------------------------------------------------------
     def add(self, vectors: np.ndarray) -> None:
@@ -50,6 +60,19 @@ class FlatIndex(BaseIndex):
         v = np.asarray(vectors)
         if v.ndim != 2 or v.shape[1] != self.dim:
             raise ValueError(f"vectors must be [N, {self.dim}], got {v.shape}")
+        if self.dtype_name == "int8":
+            # SQ8 mode: only int8 codes + per-row scales are retained —
+            # half the scan bandwidth of bf16 (ops/topk.py int8 kernel)
+            new = jnp.asarray(v, jnp.float32)
+            if self._db_i8 is not None:
+                prev = self._db_i8.astype(jnp.float32) * self._db_scales[:, None]
+                new = jnp.concatenate([prev[: self.ntotal], new])
+            self._db_i8, self._db_scales = quantize_rows_int8(new)
+            self._db_i8 = jax.device_put(self._db_i8)
+            self._db_scales = jax.device_put(self._db_scales)
+            self.ntotal = new.shape[0]
+            self._loaded = True
+            return
         dt = storage_dtype(self.dtype_name)
         new = jnp.asarray(v, dt)
         if self._db is None:
@@ -84,6 +107,13 @@ class FlatIndex(BaseIndex):
         if not self._loaded:
             raise RuntimeError("flat index not loaded")
         q = self.validate_queries(queries)
+        if self.dtype_name == "int8":
+            interpret = jax.default_backend() == "cpu"
+            return fused_topk_int8(
+                q, self._db_i8, self._db_scales, k,
+                nbins=self.nbins, chunk=min(self.chunk * 2, 8192),
+                interpret=interpret,
+            )
         if self.mesh is not None and self.mesh.dp > 1:
             s, i = sharded_topk(
                 self.mesh,
@@ -105,12 +135,29 @@ class FlatIndex(BaseIndex):
 
     def reconstruct(self, ids) -> jax.Array:
         """Fetch stored vectors by row id (for PQ re-score / debugging)."""
-        return jnp.take(self._db, jnp.asarray(ids), axis=0)
+        ids = jnp.asarray(ids)
+        if self.dtype_name == "int8":
+            return (
+                jnp.take(self._db_i8, ids, axis=0).astype(jnp.float32)
+                * jnp.take(self._db_scales, ids)[..., None]
+            )
+        return jnp.take(self._db, ids, axis=0)
 
     # -- persistence --------------------------------------------------------
     def save(self, path: str) -> None:
         if not self._loaded:
             raise RuntimeError("nothing to save")
+        if self.dtype_name == "int8":
+            save_npz(
+                path,
+                kind=self.kind,
+                dim=self.dim,
+                metric=self.metric,
+                dtype=self.dtype_name,
+                vectors_i8=np.asarray(self._db_i8[: self.ntotal]),
+                scales=np.asarray(self._db_scales[: self.ntotal], np.float32),
+            )
+            return
         save_npz(
             path,
             kind=self.kind,
@@ -131,11 +178,19 @@ class FlatIndex(BaseIndex):
                 dtype=str(z["dtype"]),
                 mesh=mesh,
             )
-            idx.add(z["vectors"])
+            if "vectors_i8" in z:
+                idx._db_i8 = jax.device_put(jnp.asarray(z["vectors_i8"]))
+                idx._db_scales = jax.device_put(jnp.asarray(z["scales"]))
+                idx.ntotal = idx._db_i8.shape[0]
+                idx._loaded = True
+            else:
+                idx.add(z["vectors"])
         return idx
 
     def unload(self) -> None:
         self._db = None
         self._db_sq = None
+        self._db_i8 = None
+        self._db_scales = None
         self._loaded = False
         self.ntotal = 0

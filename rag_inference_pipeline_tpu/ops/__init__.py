@@ -11,7 +11,15 @@ from .pq import (
     pq_topk,
     train_pq,
 )
-from .topk import binmax_partial_topk, exact_topk, fused_topk, sharded_topk
+from .topk import (
+    binmax_partial_topk,
+    binmax_partial_topk_int8,
+    exact_topk,
+    fused_topk,
+    fused_topk_int8,
+    quantize_rows_int8,
+    sharded_topk,
+)
 
 __all__ = [
     "IVFListing",
@@ -33,4 +41,7 @@ __all__ = [
     "exact_topk",
     "fused_topk",
     "sharded_topk",
+    "binmax_partial_topk_int8",
+    "fused_topk_int8",
+    "quantize_rows_int8",
 ]

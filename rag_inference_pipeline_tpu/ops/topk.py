@@ -232,6 +232,140 @@ def fused_topk(
 
 
 # ---------------------------------------------------------------------------
+# Int8 quantized scan: half the HBM traffic of bf16 (the scan is
+# bandwidth-bound — PERF_NOTES.md), int8 matmul on the MXU with int32
+# accumulation, per-row scales folded in on the VPU. The SQ8 analog of
+# faiss's scalar quantizer.
+# ---------------------------------------------------------------------------
+
+
+def quantize_rows_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-row int8 quantization. Returns (q [N,D] i8, scales [N] f32)."""
+    xf = x.astype(jnp.float32)
+    maxabs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-9)
+    scales = maxabs / 127.0
+    q = jnp.clip(jnp.round(xf / scales[:, None]), -127, 127).astype(jnp.int8)
+    return q, scales
+
+
+def _binmax_kernel_int8(
+    q_ref, db_ref, scale_ref, nrows_ref, vals_ref, idxs_ref, *, nbins, chunk
+):
+    """Int8 variant: scores = (q_i8 . db_i8) * row_scale (query scales are
+    applied outside — they do not change per-query ranking)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        vals_ref[:] = jnp.full_like(vals_ref, NEG_INF)
+        idxs_ref[:] = jnp.full_like(idxs_ref, -1)
+
+    s = jax.lax.dot_general(
+        q_ref[:],
+        db_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * scale_ref[0, :][None, :]
+    b = s.shape[0]
+    rows_per_bin = chunk // nbins
+    s3 = s.reshape(b, rows_per_bin, nbins)
+    gid = i * chunk + jax.lax.broadcasted_iota(
+        jnp.int32, (b, rows_per_bin, nbins), 1
+    ) * nbins + jax.lax.broadcasted_iota(jnp.int32, (b, rows_per_bin, nbins), 2)
+    s3 = jnp.where(gid < nrows_ref[0, 0], s3, NEG_INF)
+    new_max = jnp.max(s3, axis=1)
+    arg = jnp.argmax(s3, axis=1).astype(jnp.int32)
+    new_idx = i * chunk + arg * nbins + jax.lax.broadcasted_iota(
+        jnp.int32, (b, nbins), 1
+    )
+    better = new_max > vals_ref[:]
+    vals_ref[:] = jnp.where(better, new_max, vals_ref[:])
+    idxs_ref[:] = jnp.where(better, new_idx, idxs_ref[:])
+
+
+def binmax_partial_topk_int8(
+    queries_i8: jax.Array,  # [B, D] int8 (pre-quantized)
+    db_i8: jax.Array,  # [N, D] int8
+    db_scales: jax.Array,  # [N] f32
+    *,
+    nbins: int = 512,
+    chunk: int = 8192,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Int8 partial top-k. Scores are dequantized by db row scale only; the
+    per-query scale is a positive constant per row and preserves ranking."""
+    n, d = db_i8.shape
+    b = queries_i8.shape[0]
+    if chunk % nbins != 0:
+        raise ValueError(f"chunk ({chunk}) must be a multiple of nbins ({nbins})")
+    b_pad = _round_up(max(b, 32), 32)  # int8 sublane tile is 32
+    n_pad = _round_up(n, chunk)
+    if b_pad != b:
+        queries_i8 = jnp.pad(queries_i8, ((0, b_pad - b), (0, 0)))
+    if n_pad != n:
+        db_i8 = jnp.pad(db_i8, ((0, n_pad - n), (0, 0)))
+        db_scales = jnp.pad(db_scales, (0, n_pad - n))
+    n_chunks = n_pad // chunk
+    nrows = jnp.array([[n]], dtype=jnp.int32)
+    scales_2d = db_scales.astype(jnp.float32).reshape(1, n_pad)
+
+    kern = functools.partial(_binmax_kernel_int8, nbins=nbins, chunk=chunk)
+    vals, idxs = pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((b_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b_pad, nbins), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, nbins), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, nbins), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, nbins), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_pad * d,
+            bytes_accessed=n_pad * d + b_pad * d + n_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries_i8, db_i8, scales_2d, nrows)
+    return vals[:b], idxs[:b]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nbins", "chunk", "interpret")
+)
+def fused_topk_int8(
+    queries: jax.Array,  # [B, D] float — quantized internally
+    db_i8: jax.Array,
+    db_scales: jax.Array,
+    k: int,
+    *,
+    nbins: int = 512,
+    chunk: int = 8192,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Quantized flat search: int8 scan + top-k over the L survivors.
+
+    Returned scores are int32-domain dequantized by db scales (proportional
+    to true IP up to the per-query quant scale — fine for ranking; exact
+    re-score against full-precision vectors is available via the index).
+    """
+    q_i8, q_scales = quantize_rows_int8(queries)
+    vals, idxs = binmax_partial_topk_int8(
+        q_i8, db_i8, db_scales, nbins=nbins, chunk=chunk, interpret=interpret
+    )
+    vals = vals * q_scales[:, None]
+    s, sel = jax.lax.top_k(vals, min(k, vals.shape[1]))
+    return s, jnp.take_along_axis(idxs, sel, axis=1)
+
+
+# ---------------------------------------------------------------------------
 # Sharded search: DB rows sharded over dp; local scan + all-gather merge.
 # ---------------------------------------------------------------------------
 

@@ -43,6 +43,7 @@ from .schemas import (
 logger = logging.getLogger(__name__)
 
 SCHEDULERS_KEY = web.AppKey("schedulers", dict)
+TRACE_KEY = web.AppKey("trace_capture", object)
 REGISTRY_KEY = web.AppKey("registry", ComponentRegistry)
 SETTINGS_KEY = web.AppKey("settings", Settings)
 PROFILE_KEY = web.AppKey("profile", Profile)
@@ -186,6 +187,31 @@ async def handle_metrics(request: web.Request) -> web.Response:
     return web.Response(body=render_metrics(), content_type="text/plain")
 
 
+async def handle_profile_start(request: web.Request) -> web.Response:
+    """Start a jax.profiler device trace — the Scalene analog (reference
+    wraps nodes in Scalene via run.sh:19-59; here traces are on-demand and
+    TensorBoard-compatible)."""
+    from ..telemetry.profiling import DeviceTraceCapture
+
+    cap = request.app.get(TRACE_KEY)
+    if cap is None:
+        cap = DeviceTraceCapture()
+        request.app[TRACE_KEY] = cap
+    try:
+        log_dir = cap.start()
+    except Exception as exc:  # noqa: BLE001 — double-start etc.
+        return web.json_response({"error": str(exc)[:200]}, status=409)
+    return web.json_response({"status": "tracing", "log_dir": log_dir})
+
+
+async def handle_profile_stop(request: web.Request) -> web.Response:
+    cap = request.app.get(TRACE_KEY)
+    if cap is None:
+        return web.json_response({"error": "no trace active"}, status=409)
+    cap.stop()
+    return web.json_response({"status": "stopped", "log_dir": cap.log_dir})
+
+
 async def handle_clear_cache(request: web.Request) -> web.Response:
     registry = request.app[REGISTRY_KEY]
     s: Settings = request.app[SETTINGS_KEY]
@@ -231,6 +257,8 @@ def create_app(
     app.router.add_get("/health", handle_health)
     app.router.add_get("/metrics", handle_metrics)
     app.router.add_post("/clear_cache", handle_clear_cache)
+    app.router.add_post("/profile/start", handle_profile_start)
+    app.router.add_post("/profile/stop", handle_profile_stop)
     if "gateway" in profile.routes:
         app.router.add_post("/query", handle_query)
     if "retrieval" in profile.routes:

@@ -350,3 +350,22 @@ class TestContinuousBatching:
                 assert isinstance(body["generated_response"], str)
 
         run_app_test(s, check)
+
+
+class TestProfileEndpoints:
+    def test_trace_start_stop(self):
+        s = tiny_settings()
+
+        async def check(client):
+            r1 = await client.post("/profile/start")
+            assert r1.status == 200
+            body = await r1.json()
+            assert body["status"] == "tracing"
+            r_dup = await client.post("/profile/start")
+            assert r_dup.status == 409  # double start rejected
+            r2 = await client.post("/profile/stop")
+            assert r2.status == 200
+            r3 = await client.post("/profile/stop")
+            assert r3.status in (200, 409)
+
+        run_app_test(s, check)

@@ -134,3 +134,60 @@ class TestShardedTopk:
             [len(set(np.asarray(i)[b]) & set(oi[b])) / k for b in range(len(q))]
         )
         assert recall >= 0.9
+
+
+class TestInt8Topk:
+    def test_quantize_roundtrip(self, rng):
+        from rag_inference_pipeline_tpu.ops import quantize_rows_int8
+        import jax.numpy as jnp
+
+        x = rng.standard_normal((64, 32)).astype(np.float32)
+        q, s = quantize_rows_int8(jnp.asarray(x))
+        xr = np.asarray(q, np.float32) * np.asarray(s)[:, None]
+        assert np.abs(xr - x).max() < np.abs(x).max() / 100
+
+    def test_int8_fused_high_recall(self, rng):
+        from rag_inference_pipeline_tpu.ops import fused_topk_int8, quantize_rows_int8
+        import jax.numpy as jnp
+
+        db = rng.standard_normal((4096, 64)).astype(np.float32)
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        q = db[:8] + 0.05 * rng.standard_normal((8, 64)).astype(np.float32)
+        db_i8, scales = quantize_rows_int8(jnp.asarray(db))
+        s, i = fused_topk_int8(
+            jnp.asarray(q), db_i8, scales, 10, nbins=512, chunk=1024,
+            interpret=True,
+        )
+        _, oi = np_topk(q, db, 10)
+        rec = np.mean(
+            [len(set(np.asarray(i)[b]) & set(oi[b])) / 10 for b in range(8)]
+        )
+        assert rec >= 0.9  # int8 quantization + binmax collisions
+
+    def test_flat_index_int8_mode(self, rng, tmp_path):
+        from rag_inference_pipeline_tpu.index import BaseIndex, FlatIndex
+
+        db = rng.standard_normal((2048, 64)).astype(np.float32)
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        idx = FlatIndex(64, dtype="int8", nbins=512, chunk=512)
+        idx.add(db)
+        q = db[:4]
+        s, i = idx.search(q, 5)
+        _, oi = np_topk(q, db, 5)
+        rec = np.mean(
+            [len(set(np.asarray(i)[b]) & set(oi[b])) / 5 for b in range(4)]
+        )
+        assert rec >= 0.9
+        p = str(tmp_path / "i8.npz")
+        idx.save(p)
+        idx2 = BaseIndex.load(p)
+        s2, i2 = idx2.search(q, 5)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
+        r = np.asarray(idx2.reconstruct([0]))
+        assert np.abs(r[0] - db[0]).max() < 0.05
+
+    def test_int8_l2_rejected(self):
+        from rag_inference_pipeline_tpu.index import FlatIndex
+
+        with pytest.raises(ValueError, match="ip"):
+            FlatIndex(64, dtype="int8", metric="l2")
