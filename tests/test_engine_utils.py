@@ -236,3 +236,40 @@ class TestDocumentStore:
         store.load()
         d = store.fetch_documents_batch([1])[0]
         assert d["title"] == "tïtle ☃" and "☃" in d["content"]
+
+
+class TestExecutors:
+    def test_named_pools_and_run(self):
+        import asyncio
+
+        from rag_inference_pipeline_tpu.utils.executors import (
+            get_executor,
+            run_cpu_bound,
+            shutdown_all,
+        )
+
+        a = get_executor("alpha")
+        assert get_executor("alpha") is a
+
+        async def main():
+            return await run_cpu_bound("alpha", lambda x: x * 3, 14)
+
+        assert asyncio.new_event_loop().run_until_complete(main()) == 42
+        shutdown_all()
+        assert get_executor("alpha") is not a  # fresh pool after shutdown
+        shutdown_all()
+
+
+class TestNativeSanitizers:
+    def test_make_sanitize_clean(self):
+        """ASAN + TSAN runs of the C++ docstore (SURVEY.md section 5.2 —
+        sanitizer CI the reference lacks)."""
+        import subprocess, os
+
+        native = os.path.join(os.path.dirname(__file__), "..", "native")
+        res = subprocess.run(
+            ["make", "-C", native, "sanitize"],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert res.returncode == 0, res.stdout + res.stderr
+        assert "ASAN + TSAN clean" in res.stdout
