@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.mesh import MeshContext
-from ..ops.ivf import IVFListing, build_ivf, ivf_search
+from ..ops.ivf import IVFListing, build_ivf, ivf_search, ivf_search_pallas
 from .base import BaseIndex, save_npz, storage_dtype
 
 
@@ -68,6 +68,10 @@ class IVFFlatIndex(BaseIndex):
         if not self._loaded:
             raise RuntimeError("ivf_flat index not loaded")
         q = self.validate_queries(queries)
+        # TPU + IP: streaming Pallas bucket scan (no gather intermediate);
+        # CPU / L2: XLA path
+        if self.metric == "ip" and jax.default_backend() not in ("cpu",):
+            return ivf_search_pallas(self._listing, q, k, nprobe=self.nprobe)
         return ivf_search(
             self._listing, q, k, nprobe=self.nprobe, metric=self.metric
         )

@@ -1,4 +1,10 @@
-from .ivf import IVFListing, build_ivf, build_ivf_listing, ivf_search
+from .ivf import (
+    IVFListing,
+    build_ivf,
+    build_ivf_listing,
+    ivf_search,
+    ivf_search_pallas,
+)
 from .kmeans import assign_clusters, kmeans
 from .pq import (
     IVFPQListing,
@@ -26,6 +32,7 @@ __all__ = [
     "build_ivf",
     "build_ivf_listing",
     "ivf_search",
+    "ivf_search_pallas",
     "assign_clusters",
     "kmeans",
     "IVFPQListing",

@@ -23,6 +23,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 
 from .kmeans import assign_clusters
 from .topk import NEG_INF
@@ -53,7 +54,9 @@ def build_ivf_listing(
     n, d = x.shape
     nlist = centroids.shape[0]
     cap = int(np.ceil(cap_factor * n / nlist))
-    cap = max(1, cap)
+    # lane-align cap so Pallas bucket blocks [cap, D] / id blocks [1, cap]
+    # tile cleanly (128-lane vregs)
+    cap = max(128, ((cap + 127) // 128) * 128)
     ids = np.full((nlist, cap), -1, np.int32)
     sizes = np.zeros(nlist, np.int32)
     overflow: list[int] = []
@@ -118,6 +121,100 @@ def build_ivf(
         cap_factor=cap_factor,
         storage_dtype=storage_dtype,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Pallas IVF scan: probed buckets are DMA'd HBM->VMEM one per grid
+# step, driven by scalar-prefetched cluster ids — no [B, nprobe, cap, D]
+# gather intermediate ever exists in HBM (PERF_NOTES.md gap #2: the XLA
+# gather path writes + re-reads a copy of every probed bucket; this kernel
+# reads each bucket exactly once, double-buffered).
+# ---------------------------------------------------------------------------
+
+
+def _ivf_scan_kernel(probe_ref, q_ref, bucket_ref, ids_ref, vals_ref, out_ids_ref):
+    """Grid (B, nprobe): step (b, p) scores one probed bucket for query b and
+    folds a per-position running max into the [1, cap] accumulators.
+
+    Positional bin-max: vals[b, c] = best score seen at bucket position c
+    across this query's probed lists (collisions only when two candidates of
+    one query share a position across lists — negligible for cap >= 128).
+    """
+    p = pl.program_id(1)
+
+    @pl.when(p == 0)
+    def _init():
+        vals_ref[:] = jnp.full_like(vals_ref, NEG_INF)
+        out_ids_ref[:] = jnp.full_like(out_ids_ref, -1)
+
+    s = jax.lax.dot_general(
+        q_ref[:],  # [1, D]
+        bucket_ref[0],  # [cap, D]
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [1, cap]
+    bucket_ids = ids_ref[:]  # [1, cap]
+    s = jnp.where(bucket_ids >= 0, s, NEG_INF)
+    better = s > vals_ref[:]
+    vals_ref[:] = jnp.where(better, s, vals_ref[:])
+    out_ids_ref[:] = jnp.where(better, bucket_ids, out_ids_ref[:])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "interpret")
+)
+def ivf_search_pallas(
+    listing: IVFListing,
+    queries: jax.Array,
+    k: int,
+    *,
+    nprobe: int = 64,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """IVF search (IP metric) with the streaming bucket kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    nlist, cap, d = listing.buckets.shape
+    nprobe = min(nprobe, nlist)
+    b = queries.shape[0]
+    qf = queries.astype(jnp.float32)
+    coarse = jnp.dot(qf, listing.centroids.T, preferred_element_type=jnp.float32)
+    _, probe = jax.lax.top_k(coarse, nprobe)  # [B, nprobe]
+    probe_flat = probe.reshape(-1).astype(jnp.int32)
+
+    q = qf.astype(listing.buckets.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nprobe),
+        in_specs=[
+            pl.BlockSpec((1, d), lambda bi, pi, pr: (bi, 0)),
+            pl.BlockSpec(
+                (1, cap, d), lambda bi, pi, pr: (pr[bi * nprobe + pi], 0, 0)
+            ),
+            pl.BlockSpec((1, cap), lambda bi, pi, pr: (pr[bi * nprobe + pi], 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, cap), lambda bi, pi, pr: (bi, 0)),
+            pl.BlockSpec((1, cap), lambda bi, pi, pr: (bi, 0)),
+        ),
+    )
+    vals, out_ids = pl.pallas_call(
+        _ivf_scan_kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, cap), jnp.float32),
+            jax.ShapeDtypeStruct((b, cap), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nprobe * cap * d,
+            bytes_accessed=b * nprobe * cap * (d * listing.buckets.dtype.itemsize + 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(probe_flat, q, listing.buckets, listing.ids)
+    k_eff = min(k, cap)
+    top_s, sel = jax.lax.top_k(vals, k_eff)
+    return top_s, jnp.take_along_axis(out_ids, sel, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))

@@ -129,3 +129,39 @@ class TestIVFPQ:
         _, oi = np_topk_ip(q, x, 10)
         assert recall(np.asarray(i), oi) >= 0.6  # residual PQ, full probe
         assert (np.asarray(i) >= 0).all()
+
+
+class TestIVFPallasScan:
+    def test_matches_xla_path(self, rng):
+        from rag_inference_pipeline_tpu.ops import ivf_search_pallas
+
+        x, _ = clustered_data(rng, n=2000, d=32, n_clusters=8)
+        listing = build_ivf(
+            jax.random.key(0), x, nlist=8, train_size=2000,
+            storage_dtype=jnp.float32,
+        )
+        q = x[:6]
+        s_ref, i_ref = ivf_search(listing, jnp.asarray(q), 10, nprobe=8)
+        s_pl, i_pl = ivf_search_pallas(
+            listing, jnp.asarray(q), 10, nprobe=8, interpret=True
+        )
+        # full probe, exact scores: both paths must agree on the top-k sets
+        for b in range(6):
+            assert set(np.asarray(i_pl)[b]) == set(np.asarray(i_ref)[b])
+        np.testing.assert_allclose(
+            np.sort(np.asarray(s_pl), axis=1),
+            np.sort(np.asarray(s_ref), axis=1), rtol=1e-4,
+        )
+
+    def test_partial_probe_recall(self, rng):
+        from rag_inference_pipeline_tpu.ops import ivf_search_pallas
+
+        x, _ = clustered_data(rng, n=4000, d=32, n_clusters=16)
+        listing = build_ivf(
+            jax.random.key(0), x, nlist=16, train_size=4000,
+            storage_dtype=jnp.float32,
+        )
+        q = x[:8] + 0.01 * rng.standard_normal((8, 32)).astype(np.float32)
+        s, i = ivf_search_pallas(listing, jnp.asarray(q), 10, nprobe=8, interpret=True)
+        _, oi = np_topk_ip(q, x, 10)
+        assert recall(np.asarray(i), oi) >= 0.85
