@@ -32,16 +32,20 @@ def _split_subspaces(x: jax.Array, m: int) -> jax.Array:
     return x.reshape(n, m, d // m).transpose(1, 0, 2)  # [M, N, ds]
 
 
-@functools.partial(jax.jit, static_argnames=("m", "iters"))
+@functools.partial(jax.jit, static_argnames=("m", "iters", "ksub"))
 def train_pq(
-    key: jax.Array, x: jax.Array, m: int, *, iters: int = 12
+    key: jax.Array, x: jax.Array, m: int, *, iters: int = 12, ksub: int = 256
 ) -> jax.Array:
-    """Train per-subspace codebooks. Returns [M, 256, ds] f32."""
+    """Train per-subspace codebooks. Returns [M, ksub, ds] f32.
+
+    ksub=256 -> classic PQ8; ksub=16 -> PQ4, whose ADC scan maps onto the
+    MXU as one-hot matmuls (Quick-ADC blocking, SURVEY.md section 7.4
+    item 2) instead of VPU-hostile 256-entry gathers."""
     xs = _split_subspaces(x.astype(jnp.float32), m)
     keys = jax.random.split(key, m)
 
     def one(k_i, x_i):
-        cb, _ = kmeans(k_i, x_i, 256, iters=iters, chunk=16384)
+        cb, _ = kmeans(k_i, x_i, ksub, iters=iters, chunk=16384)
         return cb
 
     return jax.vmap(one)(keys, xs)
@@ -78,28 +82,30 @@ def pq_decode(codes: jax.Array, codebooks: jax.Array) -> jax.Array:
 
 
 def pq_lut(queries: jax.Array, codebooks: jax.Array) -> jax.Array:
-    """Per-query IP lookup tables, flattened: [B, M*256] f32.
+    """Per-query IP lookup tables, flattened: [B, M*ksub] f32.
 
-    lut[b, m*256 + c] = q_b[sub m] . codebook[m, c]
+    lut[b, m*ksub + c] = q_b[sub m] . codebook[m, c]
     """
     b = queries.shape[0]
-    m, _, ds = codebooks.shape
+    m, ksub, ds = codebooks.shape
     qs = queries.astype(jnp.float32).reshape(b, m, ds)
     lut = jnp.einsum(
         "bmd,mcd->bmc", qs, codebooks.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
-    return lut.reshape(b, m * 256)
+    return lut.reshape(b, m * ksub)
 
 
-def adc_lookup_sum(lut_flat: jax.Array, codes: jax.Array) -> jax.Array:
+def adc_lookup_sum(
+    lut_flat: jax.Array, codes: jax.Array, ksub: int = 256
+) -> jax.Array:
     """ADC: sum LUT entries selected by codes.
 
-    lut_flat [B, M*256]; codes [..., M] uint8 -> scores [B, ...] f32.
+    lut_flat [B, M*ksub]; codes [..., M] uint8 -> scores [B, ...] f32.
     """
     m = codes.shape[-1]
     lead = codes.shape[:-1]
-    base = (jnp.arange(m, dtype=jnp.int32) * 256)[None, :]
+    base = (jnp.arange(m, dtype=jnp.int32) * ksub)[None, :]
     idx = (codes.astype(jnp.int32).reshape(-1, m) + base).reshape(-1)  # [F*M]
     g = jnp.take(lut_flat, idx, axis=1)  # [B, F*M]
     return g.reshape(lut_flat.shape[0], *lead, m).sum(axis=-1)
@@ -127,6 +133,62 @@ def pq_topk(
         bs, bi = carry
         cc = jax.lax.dynamic_slice_in_dim(cp, i * chunk, chunk, axis=0)
         s = adc_lookup_sum(lut, cc)  # [B, chunk]
+        gids = i * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        s = jnp.where(gids < n, s, NEG_INF)
+        cs, ci = jax.lax.top_k(s, k)
+        cand_s = jnp.concatenate([bs, cs], axis=1)
+        cand_i = jnp.concatenate([bi, gids[0][ci].astype(jnp.int32)], axis=1)
+        ms, sel = jax.lax.top_k(cand_s, k)
+        return (ms, jnp.take_along_axis(cand_i, sel, axis=1)), None
+
+    init = (
+        jnp.full((b, k), NEG_INF, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+    (s, i), _ = jax.lax.scan(body, init, jnp.arange(n_pad // chunk))
+    return s, i
+
+
+# ---------------------------------------------------------------------------
+# PQ4 one-hot ADC: with 4-bit codes (ksub=16) the lookup-sum becomes a
+# [C, M*16] one-hot x [M*16, B] MXU matmul — 16x less wasted compute than
+# one-hot PQ8 and no gathers at all (the TPU answer to Quick-ADC).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def pq4_topk(
+    queries: jax.Array,
+    codes: jax.Array,  # [N, M] uint8 with values < 16
+    codebooks: jax.Array,  # [M, 16, ds]
+    k: int,
+    *,
+    chunk: int = 32768,
+) -> tuple[jax.Array, jax.Array]:
+    """Flat PQ4 search (IP): chunked one-hot-matmul ADC + running top-k."""
+    n, m = codes.shape
+    ksub = codebooks.shape[1]
+    b = queries.shape[0]
+    k = min(k, n)
+    chunk = min(chunk, n)
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    cp = jnp.pad(codes, ((0, n_pad - n), (0, 0))) if n_pad != n else codes
+    lut = pq_lut(queries, codebooks)  # [B, M*ksub]
+    # bf16 operands feed the MXU on TPU; CPU's dot lacks bf16 x bf16 -> f32
+    adc_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    lut_t = lut.T.astype(adc_dtype)  # [M*ksub, B]
+
+    def body(carry, i):
+        bs, bi = carry
+        cc = jax.lax.dynamic_slice_in_dim(cp, i * chunk, chunk, axis=0)
+        # per-subspace one-hot [C, M, ksub] -> [C, M*ksub]: column block m
+        # matches the lut layout (m*ksub + code)
+        onehot = jax.nn.one_hot(cc, ksub, dtype=adc_dtype).reshape(
+            chunk, m * ksub
+        )
+        s = jnp.dot(
+            onehot, lut_t, preferred_element_type=jnp.float32
+        ).T  # [B, C]
         gids = i * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         s = jnp.where(gids < n, s, NEG_INF)
         cs, ci = jax.lax.top_k(s, k)
@@ -245,8 +307,10 @@ def ivfpq_search(
         ids_g = listing.ids[pr]  # [B, pc, cap]
 
         # batched ADC: each query gathers from its own LUT row
+        ksub = listing.codebooks.shape[1]
+
         def one_query(lut_row, cg):
-            base = (jnp.arange(m, dtype=jnp.int32) * 256)[None, None, :]
+            base = (jnp.arange(m, dtype=jnp.int32) * ksub)[None, None, :]
             idx = cg.astype(jnp.int32) + base  # [pc, cap, M]
             return jnp.take(lut_row, idx.reshape(-1)).reshape(cg.shape).sum(-1)
 

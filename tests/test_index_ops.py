@@ -165,3 +165,33 @@ class TestIVFPallasScan:
         s, i = ivf_search_pallas(listing, jnp.asarray(q), 10, nprobe=8, interpret=True)
         _, oi = np_topk_ip(q, x, 10)
         assert recall(np.asarray(i), oi) >= 0.85
+
+
+class TestPQ4:
+    def test_pq4_matches_adc_reference(self, rng):
+        """PQ4 one-hot-matmul scores must equal the gather-ADC scores."""
+        from rag_inference_pipeline_tpu.ops import adc_lookup_sum, pq4_topk, pq_lut
+
+        x, _ = clustered_data(rng, n=1024, d=32, n_clusters=8, spread=0.1)
+        cb = train_pq(jax.random.key(0), jnp.asarray(x), m=16, iters=8, ksub=16)
+        codes = pq_encode(jnp.asarray(x), cb, chunk=512)
+        assert int(np.asarray(codes).max()) < 16
+        q = x[:4]
+        s, i = pq4_topk(jnp.asarray(q), codes, cb, 10, chunk=256)
+        lut = pq_lut(jnp.asarray(q), cb)
+        full = np.asarray(adc_lookup_sum(lut, codes, ksub=16))  # [B, N]
+        oracle = np.argsort(-full, axis=1)[:, :10]
+        for b in range(4):
+            assert set(np.asarray(i)[b]) == set(oracle[b])
+
+    def test_pq4_recall(self, rng):
+        from rag_inference_pipeline_tpu.ops import pq4_topk
+
+        x, _ = clustered_data(rng, n=4000, d=32, n_clusters=16, spread=0.1)
+        # equal bit budget to PQ8 m=16: PQ4 doubles the subspace count
+        cb = train_pq(jax.random.key(0), jnp.asarray(x), m=32, iters=10, ksub=16)
+        codes = pq_encode(jnp.asarray(x), cb, chunk=1024)
+        q = x[:8]
+        s, i = pq4_topk(jnp.asarray(q), codes, cb, 10, chunk=1024)
+        _, oi = np_topk_ip(q, x, 10)
+        assert recall(np.asarray(i), oi) >= 0.6  # 8x compression, no re-score
