@@ -24,6 +24,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from rag_inference_pipeline_tpu.core.bootstrap import bootstrap  # noqa: E402
+
+bootstrap()
+
 
 def synth_doc(i: int, rng: np.random.Generator) -> tuple[int, str, str]:
     topics = [

@@ -85,3 +85,44 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestSequenceParallel:
+    def test_sp_encoder_matches_unsharded(self, rng, mesh_dp8):
+        """Token-sharded encoder must be numerically exact vs the plain one
+        (SP is an extension, not an approximation)."""
+        import jax.numpy as jnp
+
+        from rag_inference_pipeline_tpu.models.bert import (
+            BertConfig,
+            bert_encode,
+            init_bert_params,
+        )
+        from rag_inference_pipeline_tpu.parallel import bert_encode_sp
+
+        cfg = BertConfig.tiny()
+        params = init_bert_params(jax.random.key(0), cfg)
+        ids = jnp.asarray(rng.integers(1, 1000, (2, 64)), jnp.int32)
+        mask = jnp.ones_like(ids)
+        mask = mask.at[1, 40:].set(0)
+        ref = np.asarray(bert_encode(params, cfg, ids, mask))
+        out = np.asarray(
+            bert_encode_sp(params, cfg, mesh_dp8, ids, mask, sp_axis="dp")
+        )
+        np.testing.assert_allclose(out[0], ref[0], atol=2e-4)
+        np.testing.assert_allclose(out[1, :40], ref[1, :40], atol=2e-4)
+
+    def test_sp_rejects_indivisible_seq(self, rng, mesh_dp8):
+        import jax.numpy as jnp
+
+        from rag_inference_pipeline_tpu.models.bert import (
+            BertConfig,
+            init_bert_params,
+        )
+        from rag_inference_pipeline_tpu.parallel import bert_encode_sp
+
+        cfg = BertConfig.tiny()
+        params = init_bert_params(jax.random.key(0), cfg)
+        ids = jnp.ones((1, 30), jnp.int32)
+        with pytest.raises(ValueError, match="divisible"):
+            bert_encode_sp(params, cfg, mesh_dp8, ids, ids)
