@@ -136,6 +136,10 @@ class Settings(BaseModel):
     log_level: str = "INFO"
     run_id: str = "dev"
 
+    # --- fused device pipeline (embed->ANN->decode in one jit) ---
+    use_fused_pipeline: bool = False
+    doc_tokens_path: Optional[str] = None
+
     # --- generation decode engine ---
     use_continuous_batching: bool = False  # persistent-lane decode engine
     decode_segment_steps: int = 8

@@ -92,12 +92,26 @@ class DeviceRAGPipeline:
             static_argnames=(),
         )
 
-    def step(self, query_tokens: np.ndarray, query_mask: np.ndarray) -> RAGStepOutput:
+    def step(
+        self,
+        query_tokens: np.ndarray,
+        query_mask: np.ndarray,
+        lm_query_tokens: Optional[np.ndarray] = None,
+        lm_query_mask: Optional[np.ndarray] = None,
+    ) -> RAGStepOutput:
+        """query_tokens: embedder token space; lm_query_tokens: decoder token
+        space (doc_tokens are stored in decoder space). When the two spaces
+        coincide (shared/hash tokenizer), the lm arrays may be omitted."""
         ctx = self.mesh
         qt = ctx.put(jnp.asarray(query_tokens, jnp.int32), batch_sharding(ctx))
         qm = ctx.put(jnp.asarray(query_mask, jnp.int32), batch_sharding(ctx))
+        if lm_query_tokens is None:
+            lm_query_tokens, lm_query_mask = query_tokens, query_mask
+        lt = ctx.put(jnp.asarray(lm_query_tokens, jnp.int32), batch_sharding(ctx))
+        lm = ctx.put(jnp.asarray(lm_query_mask, jnp.int32), batch_sharding(ctx))
         return self._step(
-            self.bert_params, self.qwen_params, self.db, self.doc_tokens, qt, qm
+            self.bert_params, self.qwen_params, self.db, self.doc_tokens,
+            qt, qm, lt, lm,
         )
 
 
@@ -108,6 +122,8 @@ def _rag_step(
     doc_tokens,
     query_tokens,
     query_mask,
+    lm_query_tokens,
+    lm_query_mask,
     *,
     mesh: MeshContext,
     bert_cfg: BertConfig,
@@ -135,8 +151,8 @@ def _rag_step(
     ctx_toks = jnp.take(doc_tokens, jnp.clip(ctx_ids, 0), axis=0)  # [B, C, L]
     ctx_flat = ctx_toks.reshape(b, -1)
     ctx_mask = (ctx_flat > 0).astype(jnp.int32)
-    prompt = jnp.concatenate([ctx_flat, query_tokens], axis=1)
-    pmask = jnp.concatenate([ctx_mask, query_mask], axis=1)
+    prompt = jnp.concatenate([ctx_flat, lm_query_tokens], axis=1)
+    pmask = jnp.concatenate([ctx_mask, lm_query_mask], axis=1)
     # the decoder requires right-padded prompts (prefill writes the cache
     # contiguously); compact the holes left by per-doc padding
     order = jnp.argsort(1 - pmask, axis=1, stable=True)

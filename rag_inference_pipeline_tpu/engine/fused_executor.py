@@ -1,0 +1,140 @@
+"""Fused serving executor: the whole RAG hot path as one device program.
+
+The BASELINE.json north star made concrete: when a node hosts embedder +
+flat index + LLM and `USE_FUSED_PIPELINE=1`, queries run through
+engine/device_pipeline._rag_step — embed -> ANN -> on-device context-token
+gather -> KV-cache greedy decode in ONE jit. Retrieved documents never exist
+on the host; only final token ids come back. Sentiment/toxicity classify the
+decoded text host-side to keep the reference's response contract.
+
+Requires a document *token* store (doc_tokens.npy, decoder token space)
+built by scripts/create_test_docs.py --tokens.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..core.config import Settings
+from ..utils.shapes import pad_rows, pick_bucket
+from .device_pipeline import DeviceRAGPipeline
+
+logger = logging.getLogger(__name__)
+
+
+class FusedExecutor:
+    def __init__(
+        self,
+        settings: Settings,
+        *,
+        mesh_ctx,
+        embedder,  # loaded EmbedderComponent
+        index,  # loaded FlatIndex (provides raw vectors)
+        llm,  # loaded LLMComponent
+        sentiment=None,
+        toxicity=None,
+    ) -> None:
+        self.settings = settings
+        self.embedder = embedder
+        self.llm = llm
+        self.sentiment = sentiment
+        self.toxicity = toxicity
+        self._pipes: dict[int, DeviceRAGPipeline] = {}  # batch bucket -> pipe
+        self.mesh_ctx = mesh_ctx
+        self.index = index
+        self.doc_tokens: Optional[np.ndarray] = None
+
+    @property
+    def is_loaded(self) -> bool:
+        return self.doc_tokens is not None
+
+    def load(self) -> None:
+        s = self.settings
+        if not s.doc_tokens_path:
+            raise ValueError("use_fused_pipeline requires doc_tokens_path")
+        self.doc_tokens = np.load(s.doc_tokens_path).astype(np.int32)
+        inner = getattr(self.index, "index", self.index)
+        if inner.kind != "flat" or getattr(inner, "_db", None) is None:
+            raise ValueError(
+                "fused pipeline requires a float flat index (raw vectors)"
+            )
+        n = inner.ntotal
+        if self.doc_tokens.shape[0] < n:
+            raise ValueError(
+                f"doc token store has {self.doc_tokens.shape[0]} rows, "
+                f"index has {n}"
+            )
+        self._db_host = np.asarray(inner._db[:n], np.float32)
+        logger.info(
+            "fused pipeline ready: %d docs, %d ctx tokens/doc",
+            n, self.doc_tokens.shape[1],
+        )
+
+    def unload(self) -> None:
+        self._pipes.clear()
+        self.doc_tokens = None
+
+    def _pipe_for(self, bucket: int) -> DeviceRAGPipeline:
+        if bucket not in self._pipes:
+            s = self.settings
+            pipe = DeviceRAGPipeline(
+                mesh=self.mesh_ctx,
+                bert_cfg=self.embedder.cfg,
+                qwen_cfg=self.llm.cfg,
+                k=s.retrieval_k,
+                ctx_docs=s.llm_context_docs,
+                doc_tok_len=self.doc_tokens.shape[1],
+                max_new_tokens=s.max_tokens,
+                use_fused_topk=False,  # exact scan inside the fused step
+            )
+            pipe.build(
+                self.embedder.params, self.llm.params,
+                self._db_host, self.doc_tokens,
+            )
+            self._pipes[bucket] = pipe
+        return self._pipes[bucket]
+
+    def process_batch(self, items: Sequence[dict]) -> list[dict]:
+        s = self.settings
+        queries = [it.get("query", "") for it in items]
+        qlen = 64
+        emb_ids, emb_mask = self.embedder.tokenizer.encode_batch(queries, qlen)
+        lm_ids, lm_mask = self.llm.tokenizer.encode_batch(queries, qlen)
+        bucket = pick_bucket(len(items), s.shape_buckets)
+        emb_ids, emb_mask, lm_ids, lm_mask = (
+            pad_rows(a, bucket) for a in (emb_ids, emb_mask, lm_ids, lm_mask)
+        )
+        emb_mask[len(items):, 0] = 1  # keep padded lanes position-valid
+        lm_mask[len(items):, 0] = 1
+        pipe = self._pipe_for(bucket)
+        out = pipe.step(emb_ids, emb_mask, lm_ids, lm_mask)
+        toks = np.asarray(out.tokens)[: len(items)]
+        eos = self.llm.tokenizer.eos_id
+        texts = []
+        for row in toks:
+            stop = np.where(row == eos)[0]
+            end = int(stop[0]) if len(stop) else len(row)
+            texts.append(self.llm.tokenizer.decode(row[:end]))
+        sentiments = (
+            self.sentiment.analyze_batch(texts)
+            if self.sentiment is not None and self.sentiment.is_loaded
+            else ["neutral"] * len(texts)
+        )
+        tox = (
+            self.toxicity.check_batch(texts)
+            if self.toxicity is not None and self.toxicity.is_loaded
+            else [(False, 0.0)] * len(texts)
+        )
+        from ..serve.schemas import TOXIC_PLACEHOLDER
+
+        return [
+            {
+                "generated_response": TOXIC_PLACEHOLDER if t else text,
+                "sentiment": sent,
+                "is_toxic": t,
+            }
+            for text, sent, (t, _) in zip(texts, sentiments, tox)
+        ]

@@ -67,12 +67,14 @@ class Orchestrator:
         retrieval_executor=None,  # local RetrievalExecutor, if co-located
         generation_service=None,  # local GenerationService, if co-located
         embedder=None,  # local embedder for gateway-side encoding
+        fused_executor=None,  # device-resident fused pipeline, if enabled
         rpc: Optional[RPCClient] = None,
     ) -> None:
         self.settings = settings
         self.retrieval_executor = retrieval_executor
         self.generation_service = generation_service
         self.embedder = embedder
+        self.fused_executor = fused_executor
         self.rpc = rpc or RPCClient(settings)
         self.query_cache = LRUCache(
             settings.query_cache_capacity,
@@ -150,6 +152,12 @@ class Orchestrator:
 
     # -- batch pipeline ----------------------------------------------------
     async def _process_batch(self, items: list[dict]) -> list[Any]:
+        if self.fused_executor is not None and self.fused_executor.is_loaded:
+            # single device program replaces the whole 3-stage pipeline:
+            # retrieved docs never reach the host (engine/fused_executor.py)
+            return await asyncio.get_running_loop().run_in_executor(
+                None, self.fused_executor.process_batch, items
+            )
         n_chunks = max(1, min(self.settings.gateway_pipeline_chunks, len(items)))
         size = (len(items) + n_chunks - 1) // n_chunks
         loop = asyncio.get_running_loop()

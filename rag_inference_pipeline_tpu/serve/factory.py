@@ -163,6 +163,29 @@ def build_registry(
         )
         registry.register("generation_service", generation_service, load=False)
 
+    fused = None
+    if settings.use_fused_pipeline and profile.has(ComponentType.ORCHESTRATOR):
+        from ..engine.fused_executor import FusedExecutor
+
+        emb_c = opt(ComponentType.EMBEDDER)
+        llm_c = opt(ComponentType.LLM)
+        idx_c = opt(ComponentType.INDEX)
+        mesh_c = registry.get_optional(ComponentType.MESH.value)
+        if not (emb_c and llm_c and idx_c):
+            raise ValueError(
+                "use_fused_pipeline requires embedder + index + llm on this node"
+            )
+        fused = FusedExecutor(
+            settings,
+            mesh_ctx=getattr(mesh_c, "ctx", None) or mesh_from_settings(settings),
+            embedder=emb_c,
+            index=getattr(idx_c, "index", idx_c),
+            llm=llm_c,
+            sentiment=opt(ComponentType.SENTIMENT),
+            toxicity=opt(ComponentType.TOXICITY),
+        )
+        registry.register("fused_executor", fused)  # load() builds the pipe
+
     if profile.has(ComponentType.ORCHESTRATOR):
         orch = Orchestrator(
             settings,
@@ -171,6 +194,7 @@ def build_registry(
             embedder=(
                 opt(ComponentType.EMBEDDER) if retrieval_executor is None else None
             ),
+            fused_executor=fused,
         )
         registry.register("orchestrator", orch, load=False)
 

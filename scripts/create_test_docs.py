@@ -58,6 +58,12 @@ def main() -> None:
         "matching the reference's random index)",
     )
     p.add_argument("--backend", choices=["native", "sqlite"], default="native")
+    p.add_argument(
+        "--tokens", action="store_true",
+        help="also write doc_tokens.npy (decoder token space) for the fused "
+        "device pipeline (USE_FUSED_PIPELINE=1)",
+    )
+    p.add_argument("--doc-tok-len", type=int, default=48)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -118,6 +124,25 @@ def main() -> None:
     index_path = os.path.join(args.out_dir, "index.npz")
     idx.save(index_path)
     print(f"index ({args.kind}): {index_path} ({time.time() - t0:.1f}s)")
+
+    if args.tokens:
+        from rag_inference_pipeline_tpu.core import get_settings
+        from rag_inference_pipeline_tpu.models.components import LLMComponent
+
+        llm = LLMComponent(get_settings())
+        # tokenizer only — no weights needed for the token store
+        llm.tokenizer = __import__(
+            "rag_inference_pipeline_tpu.models.tokenizer", fromlist=["make_tokenizer"]
+        ).make_tokenizer(
+            llm.model_name, get_settings().model_weights_dir,
+            vocab_size=llm.cfg.vocab_size, pad_id=0, eos_id=2,
+        )
+        tok_ids, _ = llm.tokenizer.encode_batch(
+            [d[2] for d in docs], args.doc_tok_len
+        )
+        tok_path = os.path.join(args.out_dir, "doc_tokens.npy")
+        np.save(tok_path, tok_ids.astype(np.int32))
+        print(f"doc token store: {tok_path} {tok_ids.shape}")
     print(
         "\nServe with:\n"
         f"  INDEX_PATH={index_path} DOCUMENT_DB_PATH={db_path} "

@@ -369,3 +369,39 @@ class TestProfileEndpoints:
             assert r3.status in (200, 409)
 
         run_app_test(s, check)
+
+
+class TestFusedPipeline:
+    def test_query_through_fused_device_path(self, tmp_path):
+        # doc token store in decoder token space (hash tokenizer)
+        import numpy as np
+
+        from rag_inference_pipeline_tpu.models.tokenizer import HashTokenizer
+
+        tk = HashTokenizer(vocab_size=512, eos_id=2)
+        tok_ids = np.stack(
+            [tk.encode(f"document body {i} topic{i % 7}", 8)[0] for i in range(N_DOCS)]
+        ).astype(np.int32)
+        tok_path = str(tmp_path / "doc_tokens.npy")
+        np.save(tok_path, tok_ids)
+
+        s = tiny_settings(
+            use_fused_pipeline=True,
+            doc_tokens_path=tok_path,
+            mesh_dp=1,
+            mesh_tp=1,
+            max_tokens=3,
+        )
+
+        async def check(client):
+            resp = await client.post(
+                "/query", json={"query": "fused question about topic2"}
+            )
+            assert resp.status == 200, await resp.text()
+            body = await resp.json()
+            assert {"generated_response", "sentiment", "is_toxic"} <= set(body)
+            # health shows the fused executor loaded
+            h = await (await client.get("/health")).json()
+            assert h["components"].get("fused_executor") is True
+
+        run_app_test(s, check)
