@@ -29,6 +29,10 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--nbins", type=int, default=1024)
     p.add_argument("--iters", type=int, default=16)
+    p.add_argument(
+        "--kernel", choices=["int8", "bf16"], default="int8",
+        help="int8 = SQ8 scan (half the HBM traffic; default)",
+    )
     args = p.parse_args()
 
     from rag_inference_pipeline_tpu.core.bootstrap import bootstrap
@@ -38,7 +42,12 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from rag_inference_pipeline_tpu.ops import exact_topk, fused_topk
+    from rag_inference_pipeline_tpu.ops import (
+        exact_topk,
+        fused_topk,
+        fused_topk_int8,
+        quantize_rows_int8,
+    )
 
     n, d, k = (65536, 256, 10) if args.smoke else (1_000_000, 768, 10)
     b = args.batch
@@ -54,13 +63,27 @@ def main() -> None:
     q0 = (q_base + noise).astype(jnp.bfloat16)
     jax.block_until_ready((db, q0))
 
-    # VMEM budget: DB block (chunk x d bf16, double-buffered) + [B, chunk]
-    # scores + [B, nbins] accumulators must fit 16 MB; B=128 needs chunk 2048
-    chunk = 2048
+    # VMEM budget: DB block (chunk x d, double-buffered) + [B, chunk] scores
+    # + [B, nbins] accumulators must fit 16 MB; int8 blocks are half size
+    if args.kernel == "int8":
+        chunk = 4096
+        db_i8, db_scales = quantize_rows_int8(db.astype(jnp.float32))
+        jax.block_until_ready((db_i8, db_scales))
 
-    # recall vs on-device exact oracle
+        def search(q):
+            return fused_topk_int8(
+                q.astype(jnp.float32), db_i8, db_scales, k,
+                nbins=args.nbins, chunk=chunk,
+            )
+    else:
+        chunk = 2048
+
+        def search(q):
+            return fused_topk(q, db, k, nbins=args.nbins, chunk=chunk)
+
+    # recall vs on-device exact (full-precision) oracle
     es, ei = exact_topk(q0, db, k, chunk=131072)
-    fs, fi = fused_topk(q0, db, k, nbins=args.nbins, chunk=chunk)
+    fs, fi = search(q0)
     jax.block_until_ready((ei, fi))
     ei_np, fi_np = np.asarray(ei), np.asarray(fi)
     recall = float(
@@ -74,12 +97,9 @@ def main() -> None:
         for i in range(8)
     ]
     jax.block_until_ready(qs)
-    fused_topk(qs[0], db, k, nbins=args.nbins, chunk=chunk)  # warm
+    search(qs[0])  # warm
     t0 = time.time()
-    outs = [
-        fused_topk(qs[i % 8], db, k, nbins=args.nbins, chunk=chunk)
-        for i in range(args.iters)
-    ]
+    outs = [search(qs[i % 8]) for i in range(args.iters)]
     jax.block_until_ready(outs)
     dt = (time.time() - t0) / args.iters
     tpu_qps = b / dt
@@ -99,7 +119,7 @@ def main() -> None:
     result = {
         "metric": (
             f"flat retrieval QPS/chip @ recall@10={recall:.3f} "
-            f"on {n}x{d} bf16, batch {b}"
+            f"on {n}x{d} ({args.kernel} scan), batch {b}"
         ),
         "value": round(tpu_qps, 1),
         "unit": "QPS",
