@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""End-to-end RAG device-latency benchmark at REAL model shapes.
+
+Measures the full hot path per batch on one chip — embed (BGE-base) ->
+int8 ANN over 1M x 768 -> cross-encoder rerank (BGE-reranker shapes) ->
+greedy decode (Qwen2.5-0.5B shapes, KV cache) — with random bf16 weights
+(identical compute to real checkpoints). Reports per-stage and E2E p50,
+comparable to BASELINE.md's reference numbers (p50 1470 ms at batch 4 on
+3 Xeon nodes) and the <100 ms north-star target.
+
+Protocol per PERF_NOTES.md: pipelined submissions, varied inputs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from rag_inference_pipeline_tpu.core.bootstrap import bootstrap  # noqa: E402
+
+bootstrap()
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--corpus", type=int, default=1_000_000)
+    p.add_argument("--new-tokens", type=int, default=128)
+    p.add_argument("--query-len", type=int, default=32)
+    p.add_argument("--prompt-len", type=int, default=512)
+    p.add_argument("--rerank-len", type=int, default=256)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--iters", type=int, default=6)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from rag_inference_pipeline_tpu.models.bert import (
+        BertConfig, bert_classify, bert_embed, init_bert_params,
+    )
+    from rag_inference_pipeline_tpu.models.qwen import (
+        QwenConfig, greedy_generate, init_qwen_params,
+    )
+    from rag_inference_pipeline_tpu.ops import fused_topk_int8, quantize_rows_int8
+
+    b = args.batch
+    print(f"setup: corpus {args.corpus}x768 int8, batch {b}", file=sys.stderr)
+    db = jax.random.normal(jax.random.key(0), (args.corpus, 768), jnp.bfloat16)
+    db_i8, scales = quantize_rows_int8(db.astype(jnp.float32))
+    del db
+
+    emb_cfg = BertConfig.bge_base()
+    emb_params = jax.device_put(
+        init_bert_params(jax.random.key(1), emb_cfg, jnp.bfloat16)
+    )
+    rr_cfg = BertConfig.bge_reranker()
+    rr_params = jax.device_put(
+        init_bert_params(jax.random.key(2), rr_cfg, jnp.bfloat16)
+    )
+    lm_cfg = QwenConfig.qwen25_05b()
+    lm_params = jax.device_put(
+        init_qwen_params(jax.random.key(3), lm_cfg, jnp.bfloat16)
+    )
+    jax.block_until_ready((db_i8, scales))
+
+    embed_fn = jax.jit(partial(bert_embed, cfg=emb_cfg))
+    rerank_fn = jax.jit(partial(bert_classify, cfg=rr_cfg))
+    gen_fn = jax.jit(
+        partial(
+            greedy_generate, cfg=lm_cfg, max_new_tokens=args.new_tokens,
+            eos_token_id=-1, cache_len=args.prompt_len + args.new_tokens,
+        )
+    )
+
+    rng = np.random.default_rng(0)
+
+    def make_inputs(seed):
+        r = np.random.default_rng(seed)
+        return {
+            "q_ids": jnp.asarray(r.integers(1, 30000, (b, args.query_len)), jnp.int32),
+            "rr_ids": jnp.asarray(
+                r.integers(1, 250000, (b * args.k, args.rerank_len)), jnp.int32
+            ),
+            "lm_ids": jnp.asarray(
+                r.integers(1, 150000, (b, args.prompt_len)), jnp.int32
+            ),
+        }
+
+    ones_q = jnp.ones((b, args.query_len), jnp.int32)
+    ones_rr = jnp.ones((b * args.k, args.rerank_len), jnp.int32)
+    ones_lm = jnp.ones((b, args.prompt_len), jnp.int32)
+
+    def pipeline(inp):
+        emb = embed_fn(emb_params, input_ids=inp["q_ids"], attn_mask=ones_q)
+        s, ids = fused_topk_int8(emb, db_i8, scales, args.k, nbins=1024, chunk=4096)
+        logits = rerank_fn(rr_params, input_ids=inp["rr_ids"], attn_mask=ones_rr)
+        toks = gen_fn(lm_params, input_ids=inp["lm_ids"], attn_mask=ones_lm)
+        return s, ids, logits, toks
+
+    # stage-by-stage timing (pipelined within each stage)
+    stages = {
+        "embed": lambda inp: embed_fn(emb_params, input_ids=inp["q_ids"], attn_mask=ones_q),
+        "search": lambda inp: fused_topk_int8(
+            embed_fn(emb_params, input_ids=inp["q_ids"], attn_mask=ones_q),
+            db_i8, scales, args.k, nbins=1024, chunk=4096,
+        ),
+        "rerank": lambda inp: rerank_fn(rr_params, input_ids=inp["rr_ids"], attn_mask=ones_rr),
+        "generate": lambda inp: gen_fn(lm_params, input_ids=inp["lm_ids"], attn_mask=ones_lm),
+        "e2e": pipeline,
+    }
+    # full-fetch protocol: np.asarray every output (block_until_ready alone
+    # does not guarantee execution through the axon tunnel — PERF_NOTES.md);
+    # numbers therefore INCLUDE one host round-trip and are upper bounds.
+    def fetch(out):
+        return jax.tree.map(lambda x: np.asarray(x), out)
+
+    inputs = [make_inputs(100 + i) for i in range(args.iters)]
+    results = {}
+    for name, fn in stages.items():
+        fetch(fn(inputs[-1]))  # warm
+        ts = []
+        for i in range(args.iters):
+            t0 = time.time()
+            fetch(fn(inputs[i]))
+            ts.append(time.time() - t0)
+        med = sorted(ts)[len(ts) // 2]
+        results[name] = round(med * 1e3, 2)
+        print(f"{name}: {med * 1e3:.1f} ms/batch{b} (incl. RTT)", file=sys.stderr)
+
+    e2e = results["e2e"]
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"E2E RAG device latency per batch of {b} "
+                    f"(embed+ANN@{args.corpus}+rerank+{args.new_tokens}tok decode)"
+                ),
+                "value": e2e,
+                "unit": "ms",
+                "vs_baseline": round(1470.41 / e2e, 2),  # BASELINE.md p50
+                "detail": {**results, "batch": b},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
