@@ -55,7 +55,6 @@ class Settings(BaseModel):
     mesh_dp: int = 0  # 0 = infer from device count / tp
     mesh_tp: int = 1
     device_platform: Optional[str] = None  # None = jax default
-    compute_dtype: str = "bfloat16"
     param_dtype: str = "bfloat16"
 
     # --- batching (reference :265-314) ---

@@ -168,12 +168,26 @@ class Orchestrator:
             chunk_futs = [loop.create_future() for _ in chunk_items]
             futures.extend(chunk_futs)
             chunks.append(PipelineChunk(chunk_items, chunk_futs))
+        import time as _t
+
+        t0 = _t.monotonic()
         for c in chunks:
             await self._retrieval_q.put(c)
         results = await asyncio.gather(*futures, return_exceptions=True)
         for r in results:
             if isinstance(r, BaseException):
                 raise r
+        # structured batch-completion event (reference orchestrator.py:303-314)
+        logger.info(
+            "batch_complete %s",
+            __import__("json").dumps(
+                {
+                    "batch_size": len(items),
+                    "chunks": len(chunks),
+                    "duration_ms": round((_t.monotonic() - t0) * 1e3, 1),
+                }
+            ),
+        )
         return list(results)
 
     async def _retrieval_worker(self) -> None:

@@ -10,11 +10,14 @@ def make_index(settings, mesh=None) -> BaseIndex:
 
     kind = settings.index_kind
     if kind is IndexKind.FLAT:
+        # partial-topk bin count: oversample * k, lane-aligned, >= 512
+        nbins = max(512, -(-settings.retrieval_k * settings.index_search_oversample // 128) * 128)
         return FlatIndex(
             settings.index_dim,
             metric=settings.index_metric,
             dtype=settings.index_dtype,
             mesh=mesh,
+            nbins=min(nbins, 2048),
         )
     if kind is IndexKind.IVF_FLAT:
         return IVFFlatIndex(

@@ -1,0 +1,151 @@
+"""YAML-profile -> mounted-endpoint flows (the reference's
+test_runtime_factory "yaml end to end" pattern, SURVEY.md section 4 item 6):
+real profile files from configs/ assembled into apps with fake components;
+routes present/absent per profile, health aggregates the profiled set.
+"""
+
+import asyncio
+import os
+
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from rag_inference_pipeline_tpu.core import Settings, load_profile_file
+from rag_inference_pipeline_tpu.serve.factory import build_registry
+from rag_inference_pipeline_tpu.serve.http import create_app
+
+CONFIGS = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+class _Fake:
+    """Duck-typed stand-in for any component."""
+
+    is_loaded = True
+    ctx = None
+    random_weights = False
+    dim = 8
+
+    def __init__(self):
+        self.index = self  # IndexComponent duck-typing
+        self.kind = "flat"
+        self.ntotal = 4
+
+    def load(self):
+        pass
+
+    def unload(self):
+        pass
+
+    def search(self, q, k):
+        import jax.numpy as jnp
+
+        b = np.asarray(q).shape[0]
+        return (jnp.zeros((b, k)), jnp.zeros((b, k), jnp.int32))
+
+    def encode(self, texts):
+        return np.zeros((len(texts), 8), np.float32)
+
+    def fetch_documents_batch(self, ids, truncate_length=None):
+        return [{"id": int(i), "title": "t", "content": "c"} for i in ids]
+
+    def rerank(self, q, docs, top_n=None):
+        return docs[: (top_n or 3)]
+
+    def rerank_batch(self, qs, ds, top_n=None):
+        return [d[: (top_n or 3)] for d in ds]
+
+    def generate_batch(self, qs, ds, max_new_tokens=None):
+        return ["generated"] * len(qs)
+
+    def analyze_batch(self, texts):
+        return ["neutral"] * len(texts)
+
+    def check_batch(self, texts):
+        return [(False, 0.0)] * len(texts)
+
+    @property
+    def cache(self):
+        class _C:
+            def clear(self):
+                pass
+
+        return _C()
+
+
+ALL_FAKES = {
+    t: _Fake()
+    for t in (
+        "mesh", "embedder", "index", "doc_store", "reranker", "llm",
+        "sentiment", "toxicity",
+    )
+}
+
+
+def run_profile(profile_name, check):
+    async def main():
+        profile = load_profile_file(
+            os.path.join(CONFIGS, f"{profile_name}.yaml")
+        )
+        settings = Settings(
+            index_dim=8, index_pq_m=8, retrieval_batch_timeout_ms=5.0,
+            generation_batch_timeout_ms=5.0, gateway_batch_timeout_ms=5.0,
+        )
+        fakes = {t: _Fake() for t in ALL_FAKES}
+        registry = build_registry(settings, profile, overrides=fakes)
+        app = create_app(settings, profile, registry)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            await check(client)
+        finally:
+            await client.close()
+
+    asyncio.new_event_loop().run_until_complete(main())
+
+
+class TestProfileRouting:
+    def test_retrieval_faiss_only_mounts_only_retrieve(self):
+        async def check(client):
+            r = await client.post(
+                "/retrieve",
+                json={"items": [{"embedding": [0.0] * 8, "k": 2}]},
+            )
+            assert r.status == 200, await r.text()
+            assert (await client.post("/query", json={"query": "x"})).status == 404
+            assert (
+                await client.post("/generate", json={"items": []})
+            ).status == 404
+
+        run_profile("retrieval_faiss_only", check)
+
+    def test_generation_llm_only(self):
+        async def check(client):
+            r = await client.post(
+                "/generate",
+                json={"items": [{"query": "q", "documents": [{"id": 1}]}]},
+            )
+            assert r.status == 200, await r.text()
+            body = await r.json()
+            assert body["results"][0]["generated_response"] == "generated"
+            assert (await client.post("/retrieve", json={"items": []})).status == 404
+
+        run_profile("generation_llm_only", check)
+
+    def test_gateway_fat_health_lists_profiled_components(self):
+        async def check(client):
+            h = await (await client.get("/health")).json()
+            assert "embedder" in h["components"]
+            assert "reranker" in h["components"]
+            assert "llm" not in h["components"]  # not placed by gateway_fat
+
+        run_profile("gateway_fat", check)
+
+    def test_every_repo_profile_builds_an_app(self):
+        import glob
+
+        async def check(client):
+            assert (await client.get("/health")).status in (200, 503)
+
+        for path in sorted(glob.glob(os.path.join(CONFIGS, "*.yaml"))):
+            run_profile(os.path.splitext(os.path.basename(path))[0], check)
