@@ -17,7 +17,12 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .layers import attention, dense, gelu, layer_norm, make_padding_mask
+from .layers import (
+    dense,
+    encoder_attention,
+    gelu,
+    layer_norm,
+)
 
 
 @dataclass(frozen=True)
@@ -148,14 +153,13 @@ def bert_encode(
         + jnp.take(emb["token_type"], tt, axis=0)
     )
     x = layer_norm(x, emb["ln_w"], emb["ln_b"], cfg.eps)
-    mask = make_padding_mask(attn_mask)
     dh = cfg.hidden // cfg.heads
 
     for lp in params["layers"]:
         q = dense(x, lp["q_w"], lp["q_b"]).reshape(b, t, cfg.heads, dh)
         k_ = dense(x, lp["k_w"], lp["k_b"]).reshape(b, t, cfg.heads, dh)
         v = dense(x, lp["v_w"], lp["v_b"]).reshape(b, t, cfg.heads, dh)
-        a = attention(q, k_, v, mask).reshape(b, t, cfg.hidden)
+        a = encoder_attention(q, k_, v, attn_mask).reshape(b, t, cfg.hidden)
         x = layer_norm(
             x + dense(a, lp["o_w"], lp["o_b"]), lp["attn_ln_w"],
             lp["attn_ln_b"], cfg.eps,

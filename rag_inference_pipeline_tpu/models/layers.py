@@ -87,6 +87,43 @@ def attention(
     return jnp.einsum("bhts,bshd->bthd", probs, v, preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+def encoder_attention(
+    q: jax.Array,  # [B, T, H, Dh]
+    k: jax.Array,
+    v: jax.Array,
+    attn_mask: jax.Array,  # [B, T] {0,1}
+) -> jax.Array:
+    """Bidirectional self-attention with key-padding, flash-accelerated.
+
+    On TPU at long context (T >= 1024, flash-compatible shapes) this runs
+    the fused Pallas flash-attention kernel with padding expressed as
+    segment ids (validated vs the reference path at bf16 tolerance, 2e-3).
+    Measured on v5e: at T=512 XLA's fused masked attention is FASTER
+    (41 vs 70 ms for bge-base B=32), so flash only engages where the T^2
+    materialization dominates.
+    """
+    b, t, h, dh = q.shape
+    use_flash = (
+        jax.default_backend() == "tpu"
+        and t % 128 == 0
+        and t >= 1024
+        and dh in (64, 128, 256)
+    )
+    if use_flash:
+        from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+        out = fa.flash_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            segment_ids=fa.SegmentIds(q=attn_mask, kv=attn_mask),
+            causal=False,
+            sm_scale=1.0 / math.sqrt(dh),
+        )
+        return out.transpose(0, 2, 1, 3).astype(q.dtype)
+    return attention(q, k, v, make_padding_mask(attn_mask))
+
+
 def causal_mask(t: int, s: int, offset) -> jax.Array:
     """[1, 1, T, S] boolean causal mask; `offset` = absolute position of the
     first query row (traced value OK)."""
