@@ -132,32 +132,44 @@ def build_ivf(
 # ---------------------------------------------------------------------------
 
 
-def _ivf_scan_kernel(probe_ref, q_ref, bucket_ref, ids_ref, vals_ref, out_ids_ref):
-    """Grid (B, nprobe): step (b, p) scores one probed bucket for query b and
-    folds a per-position running max into the [1, cap] accumulators.
+def _make_ivf_scan_kernel(nprobe: int, cap: int):
+    def kernel(probe_ref, sizes_ref, q_ref, bucket_ref, vals_ref, win_ref):
+        """Grid (B, nprobe): step (b, p) scores one probed bucket for query b
+        and folds a per-position running max into row b of the accumulators.
 
-    Positional bin-max: vals[b, c] = best score seen at bucket position c
-    across this query's probed lists (collisions only when two candidates of
-    one query share a position across lists — negligible for cap >= 128).
-    """
-    p = pl.program_id(1)
+        Positional bin-max: vals[b, c] = best score seen at bucket position c
+        across this query's probed lists; win[b, c] = which probe slot won
+        (global row ids are resolved outside — TPU block-tiling forbids the
+        [1, cap] id blocks the in-kernel variant would need).
+        """
+        bi = pl.program_id(0)
+        pi = pl.program_id(1)
 
-    @pl.when(p == 0)
-    def _init():
-        vals_ref[:] = jnp.full_like(vals_ref, NEG_INF)
-        out_ids_ref[:] = jnp.full_like(out_ids_ref, -1)
+        @pl.when(jnp.logical_and(bi == 0, pi == 0))
+        def _init():
+            vals_ref[:] = jnp.full_like(vals_ref, NEG_INF)
+            win_ref[:] = jnp.full_like(win_ref, -1)
 
-    s = jax.lax.dot_general(
-        q_ref[:],  # [1, D]
-        bucket_ref[0],  # [cap, D]
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [1, cap]
-    bucket_ids = ids_ref[:]  # [1, cap]
-    s = jnp.where(bucket_ids >= 0, s, NEG_INF)
-    better = s > vals_ref[:]
-    vals_ref[:] = jnp.where(better, s, vals_ref[:])
-    out_ids_ref[:] = jnp.where(better, bucket_ids, out_ids_ref[:])
+        # score ALL query rows against this bucket (the matmul hides under
+        # the bucket DMA; Mosaic also cannot tile a [1, D] row load at a
+        # non-8-aligned dynamic offset) and mask the update to row bi
+        s = jax.lax.dot_general(
+            q_ref[:],  # [b_pad, D]
+            bucket_ref[0],  # [cap, D]
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [b_pad, cap]
+        b_pad = s.shape[0]
+        size = sizes_ref[probe_ref[bi * nprobe + pi]]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (b_pad, cap), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (b_pad, cap), 0)
+        s = jnp.where(pos < size, s, NEG_INF)
+        old = vals_ref[:]
+        better = jnp.logical_and(row == bi, s > old)
+        vals_ref[:] = jnp.where(better, s, old)
+        win_ref[:] = jnp.where(better, pi, win_ref[:])
+
+    return kernel
 
 
 @functools.partial(
@@ -177,41 +189,51 @@ def ivf_search_pallas(
     nlist, cap, d = listing.buckets.shape
     nprobe = min(nprobe, nlist)
     b = queries.shape[0]
+    b_pad = ((max(b, 8) + 7) // 8) * 8
     qf = queries.astype(jnp.float32)
     coarse = jnp.dot(qf, listing.centroids.T, preferred_element_type=jnp.float32)
     _, probe = jax.lax.top_k(coarse, nprobe)  # [B, nprobe]
+    if b_pad != b:
+        probe = jnp.pad(probe, ((0, b_pad - b), (0, 0)))
+        qf = jnp.pad(qf, ((0, b_pad - b), (0, 0)))
     probe_flat = probe.reshape(-1).astype(jnp.int32)
 
     q = qf.astype(listing.buckets.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, nprobe),
+        num_scalar_prefetch=2,
+        grid=(b_pad, nprobe),
         in_specs=[
-            pl.BlockSpec((1, d), lambda bi, pi, pr: (bi, 0)),
+            pl.BlockSpec((b_pad, d), lambda bi, pi, pr, sz: (0, 0)),
             pl.BlockSpec(
-                (1, cap, d), lambda bi, pi, pr: (pr[bi * nprobe + pi], 0, 0)
+                (1, cap, d), lambda bi, pi, pr, sz: (pr[bi * nprobe + pi], 0, 0)
             ),
-            pl.BlockSpec((1, cap), lambda bi, pi, pr: (pr[bi * nprobe + pi], 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, cap), lambda bi, pi, pr: (bi, 0)),
-            pl.BlockSpec((1, cap), lambda bi, pi, pr: (bi, 0)),
+            pl.BlockSpec((b_pad, cap), lambda bi, pi, pr, sz: (0, 0)),
+            pl.BlockSpec((b_pad, cap), lambda bi, pi, pr, sz: (0, 0)),
         ),
     )
-    vals, out_ids = pl.pallas_call(
-        _ivf_scan_kernel,
+    vals, win = pl.pallas_call(
+        _make_ivf_scan_kernel(nprobe, cap),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((b, cap), jnp.float32),
-            jax.ShapeDtypeStruct((b, cap), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, cap), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, cap), jnp.int32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * nprobe * cap * d,
-            bytes_accessed=b * nprobe * cap * (d * listing.buckets.dtype.itemsize + 4),
+            flops=2 * b_pad * nprobe * cap * d,
+            bytes_accessed=b_pad * nprobe * cap * d
+            * listing.buckets.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(probe_flat, q, listing.buckets, listing.ids)
+    )(probe_flat, listing.list_sizes.astype(jnp.int32), q, listing.buckets)
+    vals, win, probe = vals[:b], win[:b], probe[:b]
+    # resolve winning (probe slot, position) -> global row id
+    clusters = jnp.take_along_axis(probe, jnp.clip(win, 0), axis=1)  # [B, cap]
+    pos = jnp.broadcast_to(jnp.arange(cap, dtype=jnp.int32), (b, cap))
+    out_ids = listing.ids[clusters, pos]
+    out_ids = jnp.where(win >= 0, out_ids, -1)
     k_eff = min(k, cap)
     top_s, sel = jax.lax.top_k(vals, k_eff)
     return top_s, jnp.take_along_axis(out_ids, sel, axis=1)

@@ -35,6 +35,10 @@ def setup_logging(settings: Settings) -> None:
 def build_app(settings: Optional[Settings] = None) -> web.Application:
     settings = settings or get_settings()
     profile = load_role_profile(settings)
+    if profile.batch_overrides:
+        # profile-level batch knob overrides (reference
+        # runtime_factory.py:202-206)
+        settings = settings.model_copy(update=profile.batch_overrides)
     logger.info(
         "node %d (%s) starting with profile %r: components=%s routes=%s",
         settings.node_number,

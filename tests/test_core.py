@@ -195,3 +195,21 @@ class TestRegistry:
         with pytest.raises(ValueError):
             r.register("a", object())
         assert r.health() == {"a": True}
+
+
+class TestBatchOverrides:
+    def test_profile_batch_overrides_applied(self, tmp_path, monkeypatch):
+        y = tmp_path / "ovr.yaml"
+        y.write_text(
+            "name: ovr\ncomponents: [{type: orchestrator}]\nroutes: [gateway]\n"
+            "batch_overrides: {gateway_batch_size: 99}\n"
+        )
+        monkeypatch.setenv("ROLE_PROFILE_OVERRIDE_PATH", str(y))
+        from rag_inference_pipeline_tpu.core import load_settings
+        from rag_inference_pipeline_tpu.serve.runtime import build_app
+
+        s = load_settings()
+        app = build_app(s)
+        from rag_inference_pipeline_tpu.serve.http import SETTINGS_KEY
+
+        assert app[SETTINGS_KEY].gateway_batch_size == 99
