@@ -38,10 +38,12 @@ class FlatIndex(BaseIndex):
         use_fused: Optional[bool] = None,
         nbins: int = 512,
         chunk: int = 4096,
+        rescore_k: int = 64,  # int8 mode: exact bf16 re-score depth (0 = off)
     ) -> None:
         super().__init__(dim, metric)
         if dtype == "int8" and metric != "ip":
             raise ValueError("int8 storage supports metric='ip' only")
+        self.rescore_k = rescore_k
         self.dtype_name = dtype
         self.mesh = mesh
         self.nbins = nbins
@@ -61,8 +63,10 @@ class FlatIndex(BaseIndex):
         if v.ndim != 2 or v.shape[1] != self.dim:
             raise ValueError(f"vectors must be [N, {self.dim}], got {v.shape}")
         if self.dtype_name == "int8":
-            # SQ8 mode: only int8 codes + per-row scales are retained —
-            # half the scan bandwidth of bf16 (ops/topk.py int8 kernel)
+            # SQ8 mode: int8 codes + per-row scales carry the scan (half the
+            # bandwidth of bf16); with rescore_k > 0 a bf16 copy is kept for
+            # exact re-scoring of the shortlist (0.975 -> 0.993 recall@10
+            # measured at 1M, no QPS cost — PERF_NOTES.md)
             new = jnp.asarray(v, jnp.float32)
             if self._db_i8 is not None:
                 prev = self._db_i8.astype(jnp.float32) * self._db_scales[:, None]
@@ -70,6 +74,8 @@ class FlatIndex(BaseIndex):
             self._db_i8, self._db_scales = quantize_rows_int8(new)
             self._db_i8 = jax.device_put(self._db_i8)
             self._db_scales = jax.device_put(self._db_scales)
+            if self.rescore_k > 0:
+                self._db = jax.device_put(new.astype(jnp.bfloat16))
             self.ntotal = new.shape[0]
             self._loaded = True
             return
@@ -113,6 +119,8 @@ class FlatIndex(BaseIndex):
                 q, self._db_i8, self._db_scales, k,
                 nbins=self.nbins, chunk=min(self.chunk * 2, 8192),
                 interpret=interpret,
+                rescore_db=self._db if self.rescore_k > 0 else None,
+                rescore_k=self.rescore_k,
             )
         if self.mesh is not None and self.mesh.dp > 1:
             s, i = sharded_topk(
@@ -136,7 +144,7 @@ class FlatIndex(BaseIndex):
     def reconstruct(self, ids) -> jax.Array:
         """Fetch stored vectors by row id (for PQ re-score / debugging)."""
         ids = jnp.asarray(ids)
-        if self.dtype_name == "int8":
+        if self.dtype_name == "int8" and self._db is None:
             return (
                 jnp.take(self._db_i8, ids, axis=0).astype(jnp.float32)
                 * jnp.take(self._db_scales, ids)[..., None]
@@ -148,14 +156,21 @@ class FlatIndex(BaseIndex):
         if not self._loaded:
             raise RuntimeError("nothing to save")
         if self.dtype_name == "int8":
+            extra = {}
+            if self._db is not None:  # rescore copy (float16 on disk)
+                extra["vectors_rescore"] = np.asarray(
+                    self._db[: self.ntotal].astype(jnp.float32), np.float16
+                )
             save_npz(
                 path,
                 kind=self.kind,
                 dim=self.dim,
                 metric=self.metric,
                 dtype=self.dtype_name,
+                rescore_k=self.rescore_k,
                 vectors_i8=np.asarray(self._db_i8[: self.ntotal]),
                 scales=np.asarray(self._db_scales[: self.ntotal], np.float32),
+                **extra,
             )
             return
         save_npz(
@@ -181,6 +196,13 @@ class FlatIndex(BaseIndex):
             if "vectors_i8" in z:
                 idx._db_i8 = jax.device_put(jnp.asarray(z["vectors_i8"]))
                 idx._db_scales = jax.device_put(jnp.asarray(z["scales"]))
+                idx.rescore_k = int(z["rescore_k"]) if "rescore_k" in z else 0
+                if "vectors_rescore" in z:
+                    idx._db = jax.device_put(
+                        jnp.asarray(z["vectors_rescore"], jnp.bfloat16)
+                    )
+                else:
+                    idx.rescore_k = 0
                 idx.ntotal = idx._db_i8.shape[0]
                 idx._loaded = True
             else:

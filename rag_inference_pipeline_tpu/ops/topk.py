@@ -338,7 +338,8 @@ def binmax_partial_topk_int8(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "nbins", "chunk", "interpret")
+    jax.jit,
+    static_argnames=("k", "nbins", "chunk", "interpret", "rescore_k"),
 )
 def fused_topk_int8(
     queries: jax.Array,  # [B, D] float — quantized internally
@@ -349,18 +350,34 @@ def fused_topk_int8(
     nbins: int = 512,
     chunk: int = 8192,
     interpret: bool = False,
+    rescore_db: Optional[jax.Array] = None,  # [N, D] full-precision rows
+    rescore_k: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Quantized flat search: int8 scan + top-k over the L survivors.
 
     Returned scores are int32-domain dequantized by db scales (proportional
-    to true IP up to the per-query quant scale — fine for ranking; exact
-    re-score against full-precision vectors is available via the index).
+    to true IP up to the per-query quant scale — fine for ranking). With
+    `rescore_db` + `rescore_k`, the top rescore_k int8 candidates are
+    re-scored exactly against the full-precision rows before the final cut
+    — recovers the quantization recall gap for the cost of a tiny gather.
     """
     q_i8, q_scales = quantize_rows_int8(queries)
     vals, idxs = binmax_partial_topk_int8(
         q_i8, db_i8, db_scales, nbins=nbins, chunk=chunk, interpret=interpret
     )
     vals = vals * q_scales[:, None]
+    if rescore_db is not None and rescore_k > k:
+        shortlist = min(rescore_k, vals.shape[1])
+        _, sel = jax.lax.top_k(vals, shortlist)
+        cand_ids = jnp.take_along_axis(idxs, sel, axis=1)  # [B, S]
+        cand = jnp.take(rescore_db, jnp.clip(cand_ids, 0), axis=0)
+        exact = jnp.einsum(
+            "bsd,bd->bs", cand, queries.astype(cand.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        exact = jnp.where(cand_ids >= 0, exact, NEG_INF)
+        s, sel2 = jax.lax.top_k(exact, min(k, shortlist))
+        return s, jnp.take_along_axis(cand_ids, sel2, axis=1)
     s, sel = jax.lax.top_k(vals, min(k, vals.shape[1]))
     return s, jnp.take_along_axis(idxs, sel, axis=1)
 

@@ -191,3 +191,26 @@ class TestInt8Topk:
 
         with pytest.raises(ValueError, match="ip"):
             FlatIndex(64, dtype="int8", metric="l2")
+
+    def test_int8_with_exact_rescore_recovers_recall(self, rng):
+        from rag_inference_pipeline_tpu.ops import fused_topk_int8, quantize_rows_int8
+        import jax.numpy as jnp
+
+        db = rng.standard_normal((4096, 64)).astype(np.float32)
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        q = db[:8] + 0.08 * rng.standard_normal((8, 64)).astype(np.float32)
+        db_i8, scales = quantize_rows_int8(jnp.asarray(db))
+        dbj = jnp.asarray(db, jnp.float32)
+        k = 10
+        _, i_plain = fused_topk_int8(
+            jnp.asarray(q), db_i8, scales, k, nbins=512, chunk=1024, interpret=True
+        )
+        _, i_rescored = fused_topk_int8(
+            jnp.asarray(q), db_i8, scales, k, nbins=512, chunk=1024,
+            interpret=True, rescore_db=dbj, rescore_k=64,
+        )
+        _, oi = np_topk(q, db, k)
+        r_plain = np.mean([len(set(np.asarray(i_plain)[b]) & set(oi[b]))/k for b in range(8)])
+        r_resc = np.mean([len(set(np.asarray(i_rescored)[b]) & set(oi[b]))/k for b in range(8)])
+        assert r_resc >= r_plain
+        assert r_resc >= 0.95
