@@ -150,6 +150,40 @@ def pq_topk(
 
 
 # ---------------------------------------------------------------------------
+# OPQ: learn an orthogonal rotation R that minimizes PQ reconstruction error
+# (Ge et al.) — alternate PQ training in the rotated space with a Procrustes
+# update (SVD on TPU). Queries rotate once before LUT construction; scores
+# are preserved because R is orthogonal: q.x = (Rq).(Rx).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("m", "iters", "pq_iters", "ksub"))
+def train_opq(
+    key: jax.Array,
+    x: jax.Array,  # [N, D] training sample
+    m: int,
+    *,
+    iters: int = 5,
+    pq_iters: int = 8,
+    ksub: int = 256,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (R [D, D] orthogonal, codebooks [M, ksub, D/M])."""
+    n, d = x.shape
+    xf = x.astype(jnp.float32)
+    r = jnp.eye(d, dtype=jnp.float32)
+    keys = jax.random.split(key, iters)
+    codebooks = None
+    for it in range(iters):
+        z = xf @ r
+        codebooks = train_pq(keys[it], z, m, iters=pq_iters, ksub=ksub)
+        recon = pq_decode(pq_encode(z, codebooks, chunk=min(65536, n)), codebooks)
+        # Procrustes: R* = argmin ||xR - recon||_F = U V^T of x^T recon
+        u, _, vt = jnp.linalg.svd(xf.T @ recon, full_matrices=False)
+        r = u @ vt
+    return r, codebooks
+
+
+# ---------------------------------------------------------------------------
 # PQ4 one-hot ADC: with 4-bit codes (ksub=16) the lookup-sum becomes a
 # [C, M*16] one-hot x [M*16, B] MXU matmul — 16x less wasted compute than
 # one-hot PQ8 and no gathers at all (the TPU answer to Quick-ADC).

@@ -195,3 +195,37 @@ class TestPQ4:
         s, i = pq4_topk(jnp.asarray(q), codes, cb, 10, chunk=1024)
         _, oi = np_topk_ip(q, x, 10)
         assert recall(np.asarray(i), oi) >= 0.6  # 8x compression, no re-score
+
+
+class TestOPQ:
+    def test_rotation_is_orthogonal_and_helps(self, rng):
+        from rag_inference_pipeline_tpu.ops import pq_topk, train_opq
+
+        # anisotropic data: correlated dims — where OPQ shines
+        basis = rng.standard_normal((32, 32)).astype(np.float32)
+        scalesv = np.linspace(3.0, 0.1, 32).astype(np.float32)
+        x = (rng.standard_normal((3000, 32)).astype(np.float32) * scalesv) @ basis
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+
+        r, cb_opq = train_opq(jax.random.key(0), jnp.asarray(x), m=8,
+                              iters=4, pq_iters=6, ksub=16)
+        rr = np.asarray(r)
+        np.testing.assert_allclose(rr @ rr.T, np.eye(32), atol=1e-4)
+
+        cb_plain = train_pq(jax.random.key(0), jnp.asarray(x), m=8,
+                            iters=6, ksub=16)
+
+        # the property OPQ optimizes: reconstruction error in rotated space
+        def recon_err(z, cb):
+            rec = np.asarray(pq_decode(pq_encode(z, cb, chunk=1024), cb))
+            return np.linalg.norm(rec - np.asarray(z)) / np.linalg.norm(z)
+
+        err_opq = recon_err(jnp.asarray(x) @ r, cb_opq)
+        err_plain = recon_err(jnp.asarray(x), cb_plain)
+        assert err_opq <= err_plain + 1e-3  # never worse; better on skew
+
+        # rotation preserves IP scores exactly (orthogonality)
+        q = x[:4]
+        s_rot = (q @ np.asarray(r)) @ (x @ np.asarray(r)).T
+        s_plain = q @ x.T
+        np.testing.assert_allclose(s_rot, s_plain, atol=1e-3)
