@@ -126,3 +126,59 @@ class TestSequenceParallel:
         ids = jnp.ones((1, 30), jnp.int32)
         with pytest.raises(ValueError, match="divisible"):
             bert_encode_sp(params, cfg, mesh_dp8, ids, ids)
+
+
+class TestFusedStepDecodeEquivalence:
+    def test_fused_tokens_match_host_greedy(self, rng):
+        """The fused step's on-device context build + compaction must produce
+        exactly the tokens host-side greedy decoding yields for the same
+        retrieved docs + prompt."""
+        import jax.numpy as jnp
+
+        from rag_inference_pipeline_tpu.core import make_mesh
+        from rag_inference_pipeline_tpu.models.bert import (
+            BertConfig,
+            bert_embed,
+            init_bert_params,
+        )
+        from rag_inference_pipeline_tpu.models.qwen import (
+            QwenConfig,
+            greedy_generate,
+            init_qwen_params,
+        )
+
+        ctx = make_mesh(dp=1, tp=1)
+        bert_cfg, qwen_cfg = BertConfig.tiny(), QwenConfig.tiny()
+        bert_params = init_bert_params(jax.random.key(1), bert_cfg)
+        qwen_params = init_qwen_params(jax.random.key(2), qwen_cfg)
+        n, d = 64, bert_cfg.hidden
+        db = rng.standard_normal((n, d)).astype(np.float32)
+        doc_tokens = rng.integers(1, 400, (n, 6)).astype(np.int32)
+        doc_tokens[:, 4:] = 0  # per-doc padding to exercise compaction
+
+        pipe = DeviceRAGPipeline(
+            mesh=ctx, bert_cfg=bert_cfg, qwen_cfg=qwen_cfg,
+            k=4, ctx_docs=2, doc_tok_len=6, max_new_tokens=5,
+        )
+        pipe.build(bert_params, qwen_params, db, doc_tokens)
+        q_emb = rng.integers(1, 400, (2, 8)).astype(np.int32)
+        q_lm = rng.integers(1, 400, (2, 8)).astype(np.int32)
+        mask = np.ones_like(q_emb)
+        out = pipe.step(q_emb, mask, q_lm, mask)
+
+        # host-side reference: same retrieval -> compacted prompt -> greedy
+        emb = np.asarray(bert_embed(pipe.bert_params, bert_cfg, q_emb, mask))
+        top = np.argsort(-(emb @ db.T), axis=1)[:, :2]
+        for b in range(2):
+            ctx_toks = doc_tokens[top[b]].reshape(-1)
+            valid = ctx_toks[ctx_toks > 0]
+            prompt = np.concatenate([valid, q_lm[b]])[None, :]
+            pm = np.ones_like(prompt)
+            ref = np.asarray(
+                greedy_generate(
+                    pipe.qwen_params, qwen_cfg, jnp.asarray(prompt),
+                    jnp.asarray(pm), 5, eos_token_id=-1,
+                    cache_len=prompt.shape[1] + 5,
+                )
+            )[0]
+            np.testing.assert_array_equal(np.asarray(out.tokens)[b], ref)
