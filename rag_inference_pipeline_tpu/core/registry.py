@@ -8,7 +8,6 @@ weights/device arrays; alias table resolves profile aliases to instances.
 
 from __future__ import annotations
 
-import asyncio
 import inspect
 import logging
 from typing import Any, Dict, List, Optional

@@ -33,7 +33,7 @@ import numpy as np
 
 from ..models.layers import KVCache
 from ..models.qwen import QwenConfig, qwen_decode_step, qwen_prefill
-from ..utils.shapes import pad_rows, pick_bucket
+from ..utils.shapes import pick_bucket
 
 logger = logging.getLogger(__name__)
 

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.mesh import DP_AXIS, MeshContext
+from ..core.mesh import MeshContext
 from ..models.bert import BertConfig, bert_embed
 from ..models.qwen import QwenConfig, greedy_generate
 from ..ops.topk import exact_topk, fused_topk, sharded_topk

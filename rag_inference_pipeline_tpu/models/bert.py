@@ -11,7 +11,7 @@ classifier (classification / cross-encoding).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import jax

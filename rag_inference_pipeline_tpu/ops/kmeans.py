@@ -10,12 +10,9 @@ static shapes throughout; no per-point Python control flow.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
-from .topk import NEG_INF
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))

@@ -14,7 +14,6 @@ meshes.
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

@@ -19,12 +19,10 @@ from aiohttp import web
 from pydantic import ValidationError
 
 from ..core.config import Settings
-from ..core.enums import ComponentType
 from ..core.profiles import Profile
 from ..core.registry import ComponentRegistry
 from ..engine.batcher import BatchScheduler
 from ..telemetry.metrics import (
-    CONTENT_TYPE_LATEST,
     ERRORS_TOTAL,
     render_metrics,
     update_resource_gauges,

@@ -162,7 +162,6 @@ class RetrievalExecutor:
         t0 = time.monotonic()
         mode = self.settings.documents_payload_mode
         results = []
-        want_rerank = any(it.get("rerank") for it in items)
         for i, it in enumerate(items):
             res: dict[str, Any] = {"ids": ids[i], "scores": scores[i]}
             if mode is PayloadMode.ID_ONLY:
