@@ -132,6 +132,9 @@ class Settings(BaseModel):
     enable_profiling: bool = False
     profiling_sample_rate: float = 0.2
     enable_metrics: bool = True
+    # pre-compile every batch/prefill bucket at load() so no request ever
+    # pays a first-compile stall (costly startup; recommended in production)
+    warmup_buckets: bool = False
     log_level: str = "INFO"
     run_id: str = "dev"
 

@@ -153,7 +153,13 @@ class EmbedderComponent(_BertBase):
 
     def load(self) -> None:
         super().load()
-        self.encode(["warmup"])  # compile smallest bucket
+        buckets = (
+            self.settings.shape_buckets
+            if self.settings.warmup_buckets
+            else self.settings.shape_buckets[:1]
+        )
+        for b in buckets:  # pre-compile buckets so requests never stall
+            self.encode([f"warmup {i}" for i in range(b)])
 
     def encode(self, texts: Sequence[str]) -> np.ndarray:
         if not self.is_loaded:
@@ -198,7 +204,13 @@ class RerankerComponent(_BertBase):
 
     def load(self) -> None:
         super().load()
-        self.score_pairs([("warmup", "warmup")])
+        buckets = (
+            self.settings.shape_buckets
+            if self.settings.warmup_buckets
+            else self.settings.shape_buckets[:1]
+        )
+        for b in buckets:
+            self.score_pairs([("warmup", f"doc {i}") for i in range(b)])
 
     def score_pairs(self, pairs: Sequence[tuple[str, str]]) -> np.ndarray:
         if not self.is_loaded:
@@ -297,6 +309,21 @@ class LLMComponent:
             self.model_name, self.settings.model_weights_dir,
             vocab_size=self.cfg.vocab_size, pad_id=0, eos_id=2,
         )
+        if self.settings.warmup_buckets:
+            # pre-compile every (batch bucket, prefill bucket) generate
+            # program — decode compiles are the slowest first-request stall
+            s = self.settings
+            max_new = s.max_tokens
+            plen_cap = min(s.truncate_length, self.cfg.max_len - max_new)
+            for b in s.shape_buckets:
+                for p in s.prefill_bucket_list:
+                    p = min(p, plen_cap)
+                    fn = self._gen_fn(b, p, max_new)
+                    ids = jnp.ones((b, p), jnp.int32)
+                    jax.block_until_ready(
+                        fn(self.params, input_ids=ids, attn_mask=ids)
+                    )
+                    logger.info("llm warmup: bucket=%d prefill=%d done", b, p)
 
     def unload(self) -> None:
         self.params = None
@@ -438,7 +465,13 @@ class SentimentComponent(_BertBase):
 
     def load(self) -> None:
         super().load()
-        self.analyze_batch(["warmup"])
+        buckets = (
+            self.settings.shape_buckets
+            if self.settings.warmup_buckets
+            else self.settings.shape_buckets[:1]
+        )
+        for b in buckets:
+            self.analyze_batch([f"warmup {i}" for i in range(b)])
 
     def analyze_batch(self, texts: Sequence[str]) -> list[str]:
         if not self.is_loaded:
@@ -467,7 +500,13 @@ class ToxicityComponent(_BertBase):
 
     def load(self) -> None:
         super().load()
-        self.check_batch(["warmup"])
+        buckets = (
+            self.settings.shape_buckets
+            if self.settings.warmup_buckets
+            else self.settings.shape_buckets[:1]
+        )
+        for b in buckets:
+            self.check_batch([f"warmup {i}" for i in range(b)])
 
     def check_batch(self, texts: Sequence[str]) -> list[tuple[bool, float]]:
         if not self.is_loaded:

@@ -198,3 +198,23 @@ class TestComponents:
         emb = EmbedderComponent(tiny_settings)
         with pytest.raises(RuntimeError):
             emb.encode(["x"])
+
+
+class TestBucketWarmup:
+    def test_warmup_buckets_precompiles(self, tmp_path):
+        from rag_inference_pipeline_tpu.core import Settings
+        from rag_inference_pipeline_tpu.models import EmbedderComponent, LLMComponent
+
+        s = Settings(
+            embedding_model="tiny-embed", llm_model="tiny-llm",
+            param_dtype="float32", batch_shape_buckets="1,2",
+            prefill_buckets="16", max_tokens=4, truncate_length=32,
+            warmup_buckets=True,
+        )
+        emb = EmbedderComponent(s)
+        emb.load()  # must not raise; compiles buckets 1 and 2
+        assert emb.encode(["a", "b"]).shape == (2, 64)
+        llm = LLMComponent(s)
+        llm.load()
+        # generate programs for both buckets already compiled
+        assert set(llm._gen) == {(1, 16, 4), (2, 16, 4)}
