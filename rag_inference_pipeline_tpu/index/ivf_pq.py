@@ -32,6 +32,7 @@ class IVFPQIndex(BaseIndex):
         nprobe: int = 64,
         cap_factor: float = 1.5,
         rescore_k: int = 0,
+        opq: bool = False,
         mesh: Optional[MeshContext] = None,
     ) -> None:
         super().__init__(dim, "ip")  # residual-ADC path is IP-metric
@@ -44,9 +45,13 @@ class IVFPQIndex(BaseIndex):
         # rescore_k > 0: keep full vectors and exactly re-score the top
         # rescore_k ADC candidates before cutting to k
         self.rescore_k = rescore_k
+        # opq: learn an orthogonal rotation before quantization (ops/pq.py
+        # train_opq); IP scores are rotation-invariant so queries just rotate
+        self.opq = opq
         self.mesh = mesh
         self._listing: Optional[IVFPQListing] = None
         self._vectors: Optional[jax.Array] = None  # only when rescore_k > 0
+        self._rotation: Optional[jax.Array] = None  # [D, D] when opq
 
     def train_add(
         self,
@@ -60,6 +65,18 @@ class IVFPQIndex(BaseIndex):
         v = np.asarray(vectors, np.float32)
         if v.ndim != 2 or v.shape[1] != self.dim:
             raise ValueError(f"vectors must be [N, {self.dim}], got {v.shape}")
+        if self.opq:
+            from ..ops.pq import train_opq
+
+            sel = np.random.default_rng(seed).choice(
+                v.shape[0], size=min(train_size, v.shape[0]), replace=False
+            )
+            r, _ = train_opq(
+                jax.random.key(seed), jnp.asarray(v[sel]), self.m,
+                iters=4, pq_iters=pq_iters,
+            )
+            self._rotation = r
+            v = np.asarray(jnp.asarray(v) @ r)
         self._listing = build_ivfpq(
             jax.random.key(seed),
             v,
@@ -79,6 +96,8 @@ class IVFPQIndex(BaseIndex):
         if not self._loaded:
             raise RuntimeError("ivf_pq index not loaded")
         q = self.validate_queries(queries)
+        if self._rotation is not None:
+            q = q.astype(jnp.float32) @ self._rotation
         if self.rescore_k and self._vectors is not None:
             shortlist = max(k, self.rescore_k)
             s, i = ivfpq_search(self._listing, q, shortlist, nprobe=self.nprobe)
@@ -92,6 +111,8 @@ class IVFPQIndex(BaseIndex):
         extra = {}
         if self._vectors is not None:
             extra["vectors"] = np.asarray(self._vectors, np.float32)
+        if self._rotation is not None:
+            extra["rotation"] = np.asarray(self._rotation, np.float32)
         save_npz(
             path,
             kind=self.kind,
@@ -131,6 +152,9 @@ class IVFPQIndex(BaseIndex):
             )
             if "vectors" in z:
                 idx._vectors = jnp.asarray(z["vectors"], jnp.bfloat16)
+            if "rotation" in z:
+                idx._rotation = jnp.asarray(z["rotation"], jnp.float32)
+                idx.opq = True
             idx.ntotal = int(z["ntotal"])
             idx._loaded = True
         return idx

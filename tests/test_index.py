@@ -157,3 +157,21 @@ class TestFactory:
         assert isinstance(make_index(s), IVFFlatIndex)
         s = Settings(index_kind="ivf_pq", index_dim=64, index_pq_m=8)
         assert isinstance(make_index(s), IVFPQIndex)
+
+
+class TestIVFPQOPQ:
+    def test_opq_mode_roundtrip(self, corpus, tmp_path):
+        idx = IVFPQIndex(32, nlist=8, m=8, nprobe=8, rescore_k=64, opq=True)
+        idx.train_add(corpus, train_size=2048, kmeans_iters=6, pq_iters=6)
+        assert idx._rotation is not None
+        q = corpus[:8]
+        s, i = idx.search(q, 10)
+        oi = oracle_ids(q, corpus, 10)
+        rec = np.mean([len(set(np.asarray(i)[b]) & set(oi[b])) / 10 for b in range(8)])
+        assert rec >= 0.6
+        p = str(tmp_path / "opq.npz")
+        idx.save(p)
+        idx2 = BaseIndex.load(p)
+        assert idx2.opq and idx2._rotation is not None
+        s2, i2 = idx2.search(q, 10)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
