@@ -41,12 +41,15 @@ logger = logging.getLogger(__name__)
 # -- jitted cores ----------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "eos"), donate_argnums=(1,))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "eos"), donate_argnums=(1, 4)
+)
 def _admit(
     params,
     cache: KVCache,  # [L, lanes, S, ...] pool cache (donated)
     tokens,  # [lanes] last token per lane
     done,  # [lanes] bool
+    emit_buf,  # [lanes, emit_cap] i32 device-resident emissions (donated)
     prompt_ids,  # [A, P] right-padded admit bucket
     prompt_mask,  # [A, P]
     lane_ids,  # [A] target lanes
@@ -69,23 +72,29 @@ def _admit(
     length = cache.length.at[lane_ids].set(mini.length, mode="drop")
     tokens = tokens.at[lane_ids].set(first, mode="drop")
     done = done.at[lane_ids].set(first == eos, mode="drop")
-    return KVCache(k=k, v=v, length=length), tokens, done, first
+    emit_buf = emit_buf.at[lane_ids, 0].set(first, mode="drop")
+    return KVCache(k=k, v=v, length=length), tokens, done, emit_buf
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "steps", "eos"), donate_argnums=(1,)
+    jax.jit, static_argnames=("cfg", "steps", "eos"), donate_argnums=(1, 4)
 )
 def _segment(
     params,
     cache: KVCache,  # donated
     tokens,
     done,
+    emit_buf,  # [lanes, emit_cap] i32 (donated) — emissions stay on device
+    offsets,  # [lanes] i32 write offsets (host-tracked counts)
     *,
     cfg: QwenConfig,
     steps: int,
     eos: int,
 ):
-    """Decode `steps` tokens for every lane. Returns emitted [lanes, steps]."""
+    """Decode `steps` tokens for every lane, appending into the device
+    emission buffer. Only `done` needs fetching per segment; token rows are
+    pulled once per completed request (one small transfer instead of every
+    emitted token every segment)."""
     s = cache.k.shape[2]
 
     def body(carry, _):
@@ -100,7 +109,13 @@ def _segment(
     (cache, tokens, done), emitted = jax.lax.scan(
         body, (cache, tokens, done), None, length=steps
     )
-    return cache, tokens, done, emitted.T  # [lanes, steps]
+    emitted = emitted.T  # [lanes, steps]
+    cap = emit_buf.shape[1]
+    safe = jnp.clip(offsets, 0, cap - steps)
+    emit_buf = jax.vmap(
+        lambda row, em, off: jax.lax.dynamic_update_slice(row, em, (off,))
+    )(emit_buf, emitted, safe)
+    return cache, tokens, done, emit_buf
 
 
 # -- engine ----------------------------------------------------------------
@@ -112,7 +127,7 @@ class _Request:
     max_new_tokens: int
     future: asyncio.Future
     lane: int = -1
-    emitted: list = field(default_factory=list)
+    written: int = 0  # device emission-buffer fill (host-tracked)
 
 
 class DecodeEngine:
@@ -144,6 +159,7 @@ class DecodeEngine:
         )
         self.tokens = jnp.zeros((lanes,), jnp.int32)
         self.done = jnp.ones((lanes,), bool)
+        self.emit_buf = jnp.zeros((lanes, cache_len), jnp.int32)
         self._lane_req: list[Optional[_Request]] = [None] * lanes
         self._waiting: asyncio.Queue[_Request] = asyncio.Queue()
         self._loop_task: Optional[asyncio.Task] = None
@@ -193,10 +209,14 @@ class DecodeEngine:
             await asyncio.get_running_loop().run_in_executor(
                 None, self._decode_segment_sync
             )
-        # drain on stop: fail anything still queued
-        for r in self._lane_req:
+        # drain on stop: resolve in-flight lanes with what they produced
+        for lane, r in enumerate(self._lane_req):
             if r is not None and not r.future.done():
-                r.future.set_result([t for t in r.emitted if t != self.eos])
+                n = min(r.written, r.max_new_tokens, self.cache_len)
+                toks = [int(t) for t in np.asarray(self.emit_buf[lane, :n])]
+                if self.eos in toks:
+                    toks = toks[: toks.index(self.eos)]
+                r.future.set_result(toks)
         while not self._waiting.empty():
             r = self._waiting.get_nowait()
             if not r.future.done():
@@ -226,34 +246,38 @@ class DecodeEngine:
             lanes[j] = r.lane
         mask[len(batch):, 0] = 1  # keep position math valid on pad rows
         ids[len(batch):, 0] = 1
-        self.cache, self.tokens, self.done, first = _admit(
-            self.params, self.cache, self.tokens, self.done,
+        self.cache, self.tokens, self.done, self.emit_buf = _admit(
+            self.params, self.cache, self.tokens, self.done, self.emit_buf,
             jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(lanes),
             cfg=self.cfg, eos=self.eos,
         )
-        first_np = np.asarray(first)
-        for j, r in enumerate(batch):
-            r.emitted.append(int(first_np[j]))
+        for r in batch:
+            r.written = 1  # the first (prefill-argmax) token is in the buffer
             self._lane_req[r.lane] = r
         return len(batch)
 
     def _decode_segment_sync(self) -> None:
-        self.cache, self.tokens, self.done, emitted = _segment(
-            self.params, self.cache, self.tokens, self.done,
+        offsets = np.zeros((self.lanes,), np.int32)
+        for lane, req in enumerate(self._lane_req):
+            if req is not None:
+                offsets[lane] = req.written
+        self.cache, self.tokens, self.done, self.emit_buf = _segment(
+            self.params, self.cache, self.tokens, self.done, self.emit_buf,
+            jnp.asarray(offsets),
             cfg=self.cfg, steps=self.segment_steps, eos=self.eos,
         )
-        em = np.asarray(emitted)
-        done_np = np.asarray(self.done)
+        done_np = np.asarray(self.done)  # the only per-segment host fetch
         for lane, req in enumerate(self._lane_req):
             if req is None:
                 continue
-            req.emitted.extend(int(t) for t in em[lane])
-            finished = done_np[lane] or len(req.emitted) >= req.max_new_tokens
+            req.written += self.segment_steps
+            finished = done_np[lane] or req.written >= req.max_new_tokens
             if finished:
-                toks = req.emitted
+                # one small row fetch per completed request
+                n = min(req.written, req.max_new_tokens, self.cache_len)
+                toks = [int(t) for t in np.asarray(self.emit_buf[lane, :n])]
                 if self.eos in toks:
                     toks = toks[: toks.index(self.eos)]
-                toks = toks[: req.max_new_tokens]
                 if not req.future.done():
                     req.future.get_loop().call_soon_threadsafe(
                         lambda f=req.future, t=toks: (
