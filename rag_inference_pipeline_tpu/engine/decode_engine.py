@@ -159,7 +159,10 @@ class DecodeEngine:
         )
         self.tokens = jnp.zeros((lanes,), jnp.int32)
         self.done = jnp.ones((lanes,), bool)
-        self.emit_buf = jnp.zeros((lanes, cache_len), jnp.int32)
+        # + segment_steps headroom: the final segment may overrun written by
+        # up to steps-1 positions; without it the offset clip in _segment
+        # would shift the last write left over valid tokens
+        self.emit_buf = jnp.zeros((lanes, cache_len + segment_steps), jnp.int32)
         self._lane_req: list[Optional[_Request]] = [None] * lanes
         self._waiting: asyncio.Queue[_Request] = asyncio.Queue()
         self._loop_task: Optional[asyncio.Task] = None
@@ -182,6 +185,11 @@ class DecodeEngine:
         self, prompt_ids: np.ndarray, max_new_tokens: int
     ) -> list[int]:
         """Returns generated token ids (eos excluded)."""
+        if not 0 < max_new_tokens <= self.cache_len - 2:
+            raise ValueError(
+                f"max_new_tokens must be in [1, {self.cache_len - 2}] "
+                f"(cache_len={self.cache_len}), got {max_new_tokens}"
+            )
         fut = asyncio.get_running_loop().create_future()
         await self._waiting.put(
             _Request(np.asarray(prompt_ids, np.int32), max_new_tokens, fut)
@@ -196,31 +204,45 @@ class DecodeEngine:
     # -- engine loop -------------------------------------------------------
     async def _run(self) -> None:
         while not self._stopped:
-            admitted = self._admit_waiting()
-            if self.active_lanes == 0:
-                if self._waiting.empty():
-                    self._wake.clear()
-                    try:
-                        await asyncio.wait_for(self._wake.wait(), timeout=1.0)
-                    except asyncio.TimeoutError:
-                        pass
+            try:
+                self._admit_waiting()
+                if self.active_lanes == 0:
+                    if self._waiting.empty():
+                        self._wake.clear()
+                        try:
+                            await asyncio.wait_for(self._wake.wait(), timeout=1.0)
+                        except asyncio.TimeoutError:
+                            pass
+                        continue
                     continue
-                continue
-            await asyncio.get_running_loop().run_in_executor(
-                None, self._decode_segment_sync
-            )
+                await asyncio.get_running_loop().run_in_executor(
+                    None, self._decode_segment_sync
+                )
+            except Exception as exc:  # noqa: BLE001 — a bad batch must not
+                # take the loop (and every future submit) down with it
+                logger.exception("decode engine iteration failed")
+                for lane, r in enumerate(self._lane_req):
+                    if r is not None and not r.future.done():
+                        r.future.set_exception(exc)
+                    self._lane_req[lane] = None
+                self.done = jnp.ones((self.lanes,), bool)
         # drain on stop: resolve in-flight lanes with what they produced
         for lane, r in enumerate(self._lane_req):
             if r is not None and not r.future.done():
-                n = min(r.written, r.max_new_tokens, self.cache_len)
-                toks = [int(t) for t in np.asarray(self.emit_buf[lane, :n])]
-                if self.eos in toks:
-                    toks = toks[: toks.index(self.eos)]
-                r.future.set_result(toks)
+                r.future.set_result(self._collect(lane, r))
         while not self._waiting.empty():
             r = self._waiting.get_nowait()
             if not r.future.done():
                 r.future.set_exception(RuntimeError("decode engine stopped"))
+
+    def _collect(self, lane: int, req: _Request) -> list[int]:
+        """Fetch a lane's emissions (fixed-shape row transfer — a dynamic
+        slice length would compile a fresh XLA program per (lane, n))."""
+        n = min(req.written, req.max_new_tokens, self.cache_len)
+        toks = [int(t) for t in np.asarray(self.emit_buf)[lane, :n]]
+        if self.eos in toks:
+            toks = toks[: toks.index(self.eos)]
+        return toks
 
     def _admit_waiting(self) -> int:
         free = [i for i, r in enumerate(self._lane_req) if r is None]
@@ -273,11 +295,7 @@ class DecodeEngine:
             req.written += self.segment_steps
             finished = done_np[lane] or req.written >= req.max_new_tokens
             if finished:
-                # one small row fetch per completed request
-                n = min(req.written, req.max_new_tokens, self.cache_len)
-                toks = [int(t) for t in np.asarray(self.emit_buf[lane, :n])]
-                if self.eos in toks:
-                    toks = toks[: toks.index(self.eos)]
+                toks = self._collect(lane, req)
                 if not req.future.done():
                     req.future.get_loop().call_soon_threadsafe(
                         lambda f=req.future, t=toks: (

@@ -111,3 +111,36 @@ class TestDecodeEngine:
             return out
 
         assert len(run(main())) <= 4
+
+
+class TestEngineEdgeCases:
+    def test_invalid_max_new_rejected(self, rng):
+        prompt = rng.integers(1, 400, 4).astype(np.int32)
+
+        async def main():
+            eng = make_engine(cache_len=32)
+            await eng.start()
+            with pytest.raises(ValueError, match="max_new_tokens"):
+                await eng.submit(prompt, 31)  # > cache_len - 2
+            with pytest.raises(ValueError, match="max_new_tokens"):
+                await eng.submit(prompt, 0)
+            # engine still serves afterwards
+            out = await eng.submit(prompt, 4)
+            await eng.stop()
+            return out
+
+        assert len(run(main())) <= 4
+
+    def test_generation_to_cache_boundary(self, rng):
+        """written overruns cache_len by up to steps-1 in the final segment;
+        the emission buffer headroom must keep all tokens intact."""
+        prompt = rng.integers(1, 400, 3).astype(np.int32)
+
+        async def main():
+            eng = make_engine(lanes=2, cache_len=32, segment_steps=8)
+            await eng.start()
+            out = await eng.submit(prompt, 28)
+            await eng.stop()
+            return out
+
+        assert run(main()) == solo_greedy(prompt, 28)
