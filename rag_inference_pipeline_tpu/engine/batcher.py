@@ -122,11 +122,13 @@ class BatchScheduler:
         }
 
     async def enqueue(self, item: Any) -> Any:
-        if self._closed:
-            raise RuntimeError(f"scheduler {self.name} is stopped")
         loop = asyncio.get_running_loop()
         fut: asyncio.Future = loop.create_future()
         async with self._lock:
+            # checked under the lock: an enqueue racing stop() must not
+            # start a batch that nothing will ever await
+            if self._closed:
+                raise RuntimeError(f"scheduler {self.name} is stopped")
             self._batch.items.append(item)
             self._batch.futures.append(fut)
             depth = len(self._batch.items)
@@ -180,7 +182,14 @@ class BatchScheduler:
                     f"{len(batch.items)} items"
                 )
             for fut, res in zip(batch.futures, results):
-                if not fut.done():
+                if fut.done():
+                    continue
+                # a per-item exception fails only that item (chunk-level
+                # failure isolation — the orchestrator returns exceptions
+                # for failed chunks alongside successful results)
+                if isinstance(res, BaseException):
+                    fut.set_exception(res)
+                else:
                     fut.set_result(res)
         except Exception as exc:  # noqa: BLE001 — fail the whole batch
             logger.exception("%s: batch of %d failed", self.name, len(batch.items))

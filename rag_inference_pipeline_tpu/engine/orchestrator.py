@@ -135,7 +135,8 @@ class Orchestrator:
         key = (
             fuzzy_key(query)
             if self.settings.query_cache_fuzzy
-            else normalize_query(query)
+            else normalize_query(query),
+            k or self.settings.retrieval_k,  # k changes the answer
         )
         cached = self.query_cache.get(key)
         if cached is not None:
@@ -173,10 +174,9 @@ class Orchestrator:
         t0 = _t.monotonic()
         for c in chunks:
             await self._retrieval_q.put(c)
+        # exceptions stay per-item: a failed chunk fails only its own
+        # futures (the scheduler maps exception results back per item)
         results = await asyncio.gather(*futures, return_exceptions=True)
-        for r in results:
-            if isinstance(r, BaseException):
-                raise r
         # structured batch-completion event (reference orchestrator.py:303-314)
         logger.info(
             "batch_complete %s",
@@ -258,7 +258,14 @@ class Orchestrator:
             {"items": payload_items},
             target="retrieval",
         )
-        return resp["results"]
+        results = resp["results"]
+        if len(results) != len(payload_items):
+            # a silent zip-truncation here would leave futures pending forever
+            raise RuntimeError(
+                f"retrieval peer returned {len(results)} results for "
+                f"{len(payload_items)} items"
+            )
+        return results
 
     async def _do_generation(
         self, items: list[dict], retrieval: list[dict]
@@ -286,7 +293,13 @@ class Orchestrator:
             {"items": payload_items},
             target="generation",
         )
-        return resp["results"]
+        results = resp["results"]
+        if len(results) != len(payload_items):
+            raise RuntimeError(
+                f"generation peer returned {len(results)} results for "
+                f"{len(payload_items)} items"
+            )
+        return results
 
     def _count_error(self, service: str, exc: Exception) -> None:
         ERRORS_TOTAL.labels(

@@ -19,14 +19,26 @@ from ..telemetry.metrics import COMPRESSION_RATIO
 
 ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 
-_compressors: dict[int, zstandard.ZstdCompressor] = {}
-_decompressor = zstandard.ZstdDecompressor()
+# zstd contexts are NOT safe for concurrent use from multiple threads (the C
+# context mutates with the GIL released); executor threads and the event
+# loop both compress, so contexts are per-thread
+_tls = __import__("threading").local()
 
 
 def _compressor(level: int) -> zstandard.ZstdCompressor:
-    if level not in _compressors:
-        _compressors[level] = zstandard.ZstdCompressor(level=level)
-    return _compressors[level]
+    cache = getattr(_tls, "compressors", None)
+    if cache is None:
+        cache = _tls.compressors = {}
+    if level not in cache:
+        cache[level] = zstandard.ZstdCompressor(level=level)
+    return cache[level]
+
+
+def _get_decompressor() -> zstandard.ZstdDecompressor:
+    d = getattr(_tls, "decompressor", None)
+    if d is None:
+        d = _tls.decompressor = zstandard.ZstdDecompressor()
+    return d
 
 
 def compress(
@@ -53,7 +65,7 @@ def compress(
 def decompress(data: bytes) -> bytes:
     """Sniff the zstd magic and decompress when present."""
     if data[:4] == ZSTD_MAGIC:
-        return _decompressor.decompress(data)
+        return _get_decompressor().decompress(data)
     return data
 
 
@@ -65,4 +77,4 @@ def pack_docs(docs: list[dict], *, level: int = 3) -> str:
 
 
 def unpack_docs(b64: str) -> list[dict]:
-    return json.loads(_decompressor.decompress(base64.b64decode(b64)))
+    return json.loads(_get_decompressor().decompress(base64.b64decode(b64)))

@@ -28,6 +28,7 @@ from ..telemetry.metrics import (
     update_resource_gauges,
 )
 from .compression import compress, decompress
+from .rpc import RPCError
 from .schemas import (
     GenerateRequest,
     GenerateResponse,
@@ -106,6 +107,15 @@ async def error_middleware(request: web.Request, handler):
         return web.json_response(
             {"error": msg[:500], "error_type": "unavailable"}, status=status
         )
+    except RPCError as exc:
+        # downstream-node failures are unavailability, not internal errors
+        # (reference gateway/api.py maps RPC errors to 503)
+        ERRORS_TOTAL.labels(
+            s.run_id, str(s.node_number), "http", type(exc).__name__
+        ).inc()
+        return web.json_response(
+            {"error": str(exc)[:500], "error_type": "unavailable"}, status=503
+        )
     except Exception as exc:  # noqa: BLE001
         logger.exception("unhandled error on %s", request.path)
         ERRORS_TOTAL.labels(
@@ -124,17 +134,36 @@ async def _read_json(request: web.Request) -> dict:
 # -- handlers ---------------------------------------------------------------
 
 
+_last_gauge_update = [0.0]
+
+
 async def handle_query(request: web.Request) -> web.Response:
+    import time as _t
+
     q = QueryRequest.model_validate(await _read_json(request))
     s: Settings = request.app[SETTINGS_KEY]
     orch = request.app[REGISTRY_KEY].get("orchestrator")
-    update_resource_gauges(s.run_id, str(s.node_number))
+    # resource snapshot at most every 5 s — psutil + device memory_stats on
+    # every request would stall the event loop at high QPS
+    now = _t.monotonic()
+    if now - _last_gauge_update[0] > 5.0:
+        _last_gauge_update[0] = now
+        update_resource_gauges(s.run_id, str(s.node_number))
     result = await orch.process_query(q.query, q.request_id, q.k)
     return web.json_response(QueryResponse(**result).model_dump())
 
 
 async def handle_retrieve(request: web.Request) -> web.Response:
     req = RetrieveRequest.model_validate(await _read_json(request))
+    s: Settings = request.app[SETTINGS_KEY]
+    # validate dims BEFORE enqueueing: a bad item inside a flushed batch
+    # would fail other clients' co-batched requests
+    for i, it in enumerate(req.items):
+        if it.embedding is not None and len(it.embedding) != s.index_dim:
+            raise ValueError(
+                f"item {i}: embedding dim {len(it.embedding)} != "
+                f"index dim {s.index_dim}"
+            )
     sched: BatchScheduler = request.app[SCHEDULERS_KEY]["retrieval"]
     items = [
         {

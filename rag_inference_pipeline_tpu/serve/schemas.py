@@ -86,6 +86,13 @@ class GenerateItem(BaseModel):
     doc_ids: Optional[list[int]] = None  # payload mode: id_only
     compressed_docs: Optional[str] = None
 
+    @field_validator("compressed_docs")
+    @classmethod
+    def _check_b64(cls, v):
+        if v is not None:
+            base64.b64decode(v, validate=True)
+        return v
+
 
 class GenerateRequest(BaseModel):
     items: list[GenerateItem]

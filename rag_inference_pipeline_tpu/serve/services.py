@@ -289,7 +289,10 @@ class GenerationService:
             raise RuntimeError(f"generation not ready: {why}")
         loop = asyncio.get_running_loop()
         queries = [it.get("query", "") for it in items]
-        docs_batch = [self._prepare_documents(it) for it in items]
+        # doc-store fetch / zstd decompress must not block the event loop
+        docs_batch = await loop.run_in_executor(
+            None, lambda: [self._prepare_documents(it) for it in items]
+        )
         if self.reranker is not None and self.reranker.is_loaded:
             docs_batch = await loop.run_in_executor(
                 None,

@@ -78,19 +78,30 @@ class LRUCache:
 
 
 class CompressedLRUCache(LRUCache):
-    """LRU storing zstd-compressed JSON blobs (reference cache.py:89-118)."""
+    """LRU storing zstd-compressed JSON blobs (reference cache.py:89-118).
+
+    zstd contexts are not safe for concurrent use across threads, so
+    (de)compressors are thread-local.
+    """
 
     def __init__(self, capacity: int, *, level: int = 3, **kwargs) -> None:
         super().__init__(capacity, **kwargs)
-        self._comp = zstandard.ZstdCompressor(level=level)
-        self._decomp = zstandard.ZstdDecompressor()
+        self._level = level
+        self._tls = threading.local()
+
+    def _codecs(self):
+        if not hasattr(self._tls, "comp"):
+            self._tls.comp = zstandard.ZstdCompressor(level=self._level)
+            self._tls.decomp = zstandard.ZstdDecompressor()
+        return self._tls.comp, self._tls.decomp
 
     def put(self, key, value) -> None:
-        blob = self._comp.compress(json.dumps(value).encode())
-        super().put(key, blob)
+        comp, _ = self._codecs()
+        super().put(key, comp.compress(json.dumps(value).encode()))
 
     def get(self, key) -> Optional[Any]:
         blob = super().get(key)
         if blob is None:
             return None
-        return json.loads(self._decomp.decompress(blob))
+        _, decomp = self._codecs()
+        return json.loads(decomp.decompress(blob))

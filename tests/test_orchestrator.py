@@ -185,3 +185,77 @@ class TestOrchestrator:
 
         a, b = run(main())
         assert a["generated_response"] == b["generated_response"]
+
+
+class TestChunkIsolation:
+    def test_failed_chunk_does_not_fail_healthy_chunks(self):
+        """Chunk-level failure isolation end to end through the scheduler."""
+
+        async def main():
+            calls = {"n": 0}
+            rpc = make_rpc()
+            orig = rpc.post
+
+            async def flaky(url, payload, target="peer"):
+                if "/retrieve" in url:
+                    calls["n"] += 1
+                    if calls["n"] == 2:  # second chunk's retrieval dies
+                        raise RuntimeError("transient retrieval failure")
+                return await orig(url, payload, target)
+
+            rpc.post = flaky
+            orch = Orchestrator(
+                settings(gateway_batch_size=4, gateway_pipeline_chunks=2),
+                rpc=rpc,
+            )
+            await orch.start()
+            results = await asyncio.gather(
+                *(orch.process_query(f"iso {i}", f"r{i}") for i in range(4)),
+                return_exceptions=True,
+            )
+            await orch.stop()
+            return results
+
+        results = run(main())
+        oks = [r for r in results if isinstance(r, dict)]
+        fails = [r for r in results if isinstance(r, Exception)]
+        assert len(oks) == 2 and len(fails) == 2  # only the bad chunk failed
+
+    def test_peer_count_mismatch_detected(self):
+        async def main():
+            rpc = make_rpc()
+
+            async def short(url, payload, target="peer"):
+                if "/retrieve" in url:
+                    return {"results": []}  # wrong count
+                raise AssertionError
+
+            rpc.post = short
+            orch = Orchestrator(settings(), rpc=rpc)
+            await orch.start()
+            with pytest.raises(RuntimeError, match="returned 0 results"):
+                await orch.process_query("x", "r1")
+            await orch.stop()
+
+        run(main())
+
+    def test_cache_key_includes_k(self):
+        async def main():
+            ks = []
+            rpc = make_rpc()
+            orig = rpc.post
+
+            async def spy(url, payload, target="peer"):
+                if "/retrieve" in url:
+                    ks.extend(it.get("k") for it in payload["items"])
+                return await orig(url, payload, target)
+
+            rpc.post = spy
+            orch = Orchestrator(settings(), rpc=rpc)
+            await orch.start()
+            await orch.process_query("same q", "r1", k=5)
+            await orch.process_query("same q", "r2", k=50)  # must NOT hit cache
+            await orch.stop()
+            return ks
+
+        assert run(main()) == [5, 50]
