@@ -69,8 +69,16 @@ class FlatIndex(BaseIndex):
             # measured at 1M, no QPS cost — PERF_NOTES.md)
             new = jnp.asarray(v, jnp.float32)
             if self._db_i8 is not None:
-                prev = self._db_i8.astype(jnp.float32) * self._db_scales[:, None]
-                new = jnp.concatenate([prev[: self.ntotal], new])
+                if self._db is not None:
+                    # re-add must not degrade the exact-rescore copy: use the
+                    # bf16 originals, not dequantized int8
+                    prev = self._db[: self.ntotal].astype(jnp.float32)
+                else:
+                    prev = (
+                        self._db_i8.astype(jnp.float32)
+                        * self._db_scales[:, None]
+                    )[: self.ntotal]
+                new = jnp.concatenate([prev, new])
             self._db_i8, self._db_scales = quantize_rows_int8(new)
             self._db_i8 = jax.device_put(self._db_i8)
             self._db_scales = jax.device_put(self._db_scales)
@@ -123,19 +131,20 @@ class FlatIndex(BaseIndex):
                 rescore_k=self.rescore_k,
             )
         if self.mesh is not None and self.mesh.dp > 1:
-            s, i = sharded_topk(
+            return sharded_topk(
                 self.mesh,
                 q,
                 self._db,
                 k,
-                use_fused=self.use_fused and self.metric == "ip",
+                use_fused=(
+                    self.use_fused and self.metric == "ip" and k <= self.nbins
+                ),
                 nbins=self.nbins,
                 chunk=self.chunk,
+                metric=self.metric,
+                ntotal=self.ntotal,  # masks the even-sharding pad rows
             )
-            # clamp ids of zero-padded shard rows
-            valid = i < self.ntotal
-            return jnp.where(valid, s, -jnp.inf), jnp.where(valid, i, -1)
-        if self.use_fused and self.metric == "ip":
+        if self.use_fused and self.metric == "ip" and k <= self.nbins:
             return fused_topk(q, self._db, k, nbins=self.nbins, chunk=self.chunk)
         return exact_topk(
             q, self._db, k, metric=self.metric, db_sq_norms=self._db_sq

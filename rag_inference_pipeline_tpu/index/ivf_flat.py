@@ -60,6 +60,7 @@ class IVFFlatIndex(BaseIndex):
             iters=iters,
             cap_factor=self.cap_factor,
             storage_dtype=storage_dtype(self.dtype_name),
+            seed=seed,
         )
         self.ntotal = v.shape[0]
         self._loaded = True

@@ -86,6 +86,7 @@ class IVFPQIndex(BaseIndex):
             kmeans_iters=kmeans_iters,
             pq_iters=pq_iters,
             cap_factor=self.cap_factor,
+            seed=seed,
         )
         if self.rescore_k > 0:
             self._vectors = jnp.asarray(v, jnp.bfloat16)

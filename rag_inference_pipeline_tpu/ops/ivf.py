@@ -38,20 +38,21 @@ class IVFListing(NamedTuple):
     list_sizes: jax.Array  # [nlist] i32
 
 
-def build_ivf_listing(
+def layout_inverted_lists(
     x: np.ndarray,
     centroids: np.ndarray,
     assignments: np.ndarray,
     *,
     cap_factor: float = 1.5,
-    storage_dtype=jnp.bfloat16,
-) -> IVFListing:
-    """Host-side list construction from a device-computed assignment.
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side id layout only: (ids [nlist, cap] i32, sizes [nlist] i32).
 
     Overflowing vectors cascade to the nearest centroid with free capacity
     so every row is indexed exactly once and cap stays ~cap_factor * mean.
+    Used directly by IVF-PQ builds, which need the layout but not the
+    full-precision vector buckets.
     """
-    n, d = x.shape
+    n, _ = x.shape
     nlist = centroids.shape[0]
     cap = int(np.ceil(cap_factor * n / nlist))
     # lane-align cap so Pallas bucket blocks [cap, D] / id blocks [1, cap]
@@ -83,6 +84,23 @@ def build_ivf_listing(
                     break
             else:  # pragma: no cover — cap_factor >= 1 makes this impossible
                 raise RuntimeError("IVF build: no capacity left anywhere")
+    return ids, sizes
+
+
+def build_ivf_listing(
+    x: np.ndarray,
+    centroids: np.ndarray,
+    assignments: np.ndarray,
+    *,
+    cap_factor: float = 1.5,
+    storage_dtype=jnp.bfloat16,
+) -> IVFListing:
+    """Host-side list construction from a device-computed assignment."""
+    n, d = x.shape
+    ids, sizes = layout_inverted_lists(
+        x, centroids, assignments, cap_factor=cap_factor
+    )
+    nlist, cap = ids.shape
     buckets = np.zeros((nlist, cap, d), np.float32)
     mask = ids >= 0
     buckets[mask] = x[ids[mask]]
@@ -103,12 +121,15 @@ def build_ivf(
     iters: int = 15,
     cap_factor: float = 1.5,
     storage_dtype=jnp.bfloat16,
+    seed: int = 0,
 ) -> IVFListing:
     """Full IVF build: on-TPU k-means train + assign, host list layout."""
     from .kmeans import kmeans
 
     n = x_host.shape[0]
-    sel = np.random.default_rng(0).choice(n, size=min(train_size, n), replace=False)
+    sel = np.random.default_rng(seed).choice(
+        n, size=min(train_size, n), replace=False
+    )
     x_train = jnp.asarray(x_host[sel], jnp.float32)
     centroids, _ = kmeans(key, x_train, nlist, iters=iters)
     assignments = np.asarray(

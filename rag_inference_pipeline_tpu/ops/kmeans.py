@@ -90,6 +90,10 @@ def kmeans(
     each iteration to perturbed copies of the current largest centroid.
     """
     n, d = x.shape
+    if n < k:
+        raise ValueError(
+            f"k-means needs at least k training points: n={n} < k={k}"
+        )
     chunk = min(chunk, max(256, n))
     n_pad = ((n + chunk - 1) // chunk) * chunk
     x_pad = jnp.pad(x, ((0, n_pad - n), (0, 0))) if n_pad != n else x

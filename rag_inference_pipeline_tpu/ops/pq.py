@@ -262,13 +262,14 @@ def build_ivfpq(
     kmeans_iters: int = 15,
     pq_iters: int = 12,
     cap_factor: float = 1.5,
+    seed: int = 0,
 ) -> IVFPQListing:
     """IVF-PQ build: coarse k-means, residual PQ training, bucketed codes."""
-    from .ivf import build_ivf_listing
+    from .ivf import layout_inverted_lists
     from .kmeans import assign_clusters
 
     n, d = x_host.shape
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     sel = rng.choice(n, size=min(train_size, n), replace=False)
     kc, kp = jax.random.split(key)
     centroids, _ = kmeans(
@@ -284,22 +285,21 @@ def build_ivfpq(
     )
     codes = np.asarray(pq_encode(jnp.asarray(residuals), codebooks))
 
-    # reuse the flat IVF bucket builder for the id layout, then scatter codes
-    flat = build_ivf_listing(
-        x_host, cent_np, assignments, cap_factor=cap_factor,
-        storage_dtype=jnp.bfloat16,
+    # id layout only — building full-precision vector buckets here would
+    # upload GBs to HBM that IVF-PQ never uses
+    ids_np, sizes_np = layout_inverted_lists(
+        x_host, cent_np, assignments, cap_factor=cap_factor
     )
-    ids_np = np.asarray(flat.ids)
     cap = ids_np.shape[1]
     code_buckets = np.zeros((nlist, cap, m), np.uint8)
     mask = ids_np >= 0
     code_buckets[mask] = codes[ids_np[mask]]
     return IVFPQListing(
-        centroids=flat.centroids,
+        centroids=jnp.asarray(cent_np, jnp.float32),
         codebooks=codebooks,
         code_buckets=jnp.asarray(code_buckets),
-        ids=flat.ids,
-        list_sizes=flat.list_sizes,
+        ids=jnp.asarray(ids_np),
+        list_sizes=jnp.asarray(sizes_np),
     )
 
 
@@ -320,8 +320,6 @@ def ivfpq_search(
     """
     nlist, cap, m = listing.code_buckets.shape
     nprobe = min(nprobe, nlist)
-    nprobe = ((nprobe + probe_chunk - 1) // probe_chunk) * probe_chunk
-    nprobe = min(nprobe, nlist)
     b = queries.shape[0]
     qf = queries.astype(jnp.float32)
 
@@ -329,6 +327,16 @@ def ivfpq_search(
         qf, listing.centroids.T, preferred_element_type=jnp.float32
     )  # [B, nlist]
     coarse_s, probe = jax.lax.top_k(coarse, nprobe)  # both [B, nprobe]
+    # pad the probe set up to a probe_chunk multiple (truncating would
+    # silently drop the tail lists); padded columns repeat the last probe
+    # with a NEG_INF coarse term so their candidates can never win
+    pad = (-nprobe) % probe_chunk
+    if pad:
+        probe = jnp.concatenate([probe, jnp.repeat(probe[:, -1:], pad, 1)], 1)
+        coarse_s = jnp.concatenate(
+            [coarse_s, jnp.full((b, pad), NEG_INF, jnp.float32)], 1
+        )
+        nprobe += pad
     lut = pq_lut(qf, listing.codebooks)  # [B, M*256]
 
     k_eff = min(k, nprobe * cap)

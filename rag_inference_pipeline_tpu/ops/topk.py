@@ -66,7 +66,7 @@ def exact_topk(
     n, d = db.shape
     b = queries.shape[0]
     k = min(k, n)
-    chunk = min(chunk, n)
+    chunk = max(min(chunk, n), k)  # lax.top_k over a chunk needs chunk >= k
     n_chunks = (n + chunk - 1) // chunk
     n_pad = n_chunks * chunk
     if n_pad != n:
@@ -222,8 +222,15 @@ def fused_topk(
     """Fused flat-IP search: Pallas bin-max scan + exact top-k over survivors.
 
     Recall vs exact is controlled by nbins (>= ~32*k for recall@k ~ 0.99 on
-    1M rows). Returns (scores [B,k] f32, indices [B,k] i32).
+    1M rows). Returns (scores [B,k] f32, indices [B,k] i32). Requires
+    k <= nbins (the scan keeps only nbins survivors); callers wanting larger
+    k should use exact_topk.
     """
+    if k > nbins:
+        raise ValueError(
+            f"fused_topk keeps only nbins={nbins} candidates; k={k} exceeds "
+            "it — raise nbins or use exact_topk"
+        )
     vals, idxs = binmax_partial_topk(
         queries, db, nbins=nbins, chunk=chunk, interpret=interpret
     )
@@ -396,6 +403,8 @@ def sharded_topk(
     use_fused: bool = False,
     nbins: int = 512,
     chunk: int = 4096,
+    metric: str = "ip",
+    ntotal: Optional[int] = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k over a dp-row-sharded database.
@@ -404,10 +413,17 @@ def sharded_topk(
     scan otherwise), then the tiny [dp*k] candidate sets are all-gathered
     over ICI and merged identically on every device — the collective-based
     replacement for the reference's HTTP fan-out (SURVEY.md section 2.6).
+
+    `ntotal` is the true (unpadded) row count: rows appended for even
+    sharding are masked to NEG_INF so a zero pad row can never displace a
+    real (possibly negative-scoring) neighbor.
     """
-    n_total = db_sharded.shape[0]
+    n_rows = db_sharded.shape[0]
+    n_real = ntotal if ntotal is not None else n_rows
     dp = ctx.dp
-    shard_rows = n_total // dp
+    shard_rows = n_rows // dp
+    if use_fused and metric != "ip":
+        raise ValueError("fused sharded scan supports metric='ip' only")
 
     def local(q, db_local):
         if use_fused:
@@ -415,10 +431,14 @@ def sharded_topk(
                 q, db_local, k, nbins=nbins, chunk=chunk, interpret=interpret
             )
         else:
-            s, i = exact_topk(q, db_local, k, chunk=min(chunk * 8, shard_rows))
-        # lift local row ids to global ids
+            s, i = exact_topk(
+                q, db_local, k, chunk=min(chunk * 8, shard_rows), metric=metric
+            )
+        # lift local row ids to global ids; mask shard-padding rows
         shard = jax.lax.axis_index(DP_AXIS)
         i = i + shard * shard_rows
+        s = jnp.where(i < n_real, s, NEG_INF)
+        i = jnp.where(i < n_real, i, -1)
         s_all = jax.lax.all_gather(s, DP_AXIS, axis=1, tiled=True)  # [B, dp*k]
         i_all = jax.lax.all_gather(i, DP_AXIS, axis=1, tiled=True)
         ms, sel = jax.lax.top_k(s_all, k)

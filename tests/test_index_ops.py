@@ -229,3 +229,17 @@ class TestOPQ:
         s_rot = (q @ np.asarray(r)) @ (x @ np.asarray(r)).T
         s_plain = q @ x.T
         np.testing.assert_allclose(s_rot, s_plain, atol=1e-3)
+
+
+class TestIVFPQTailProbes:
+    def test_nprobe_not_multiple_of_chunk_scans_all(self, rng):
+        """nprobe == nlist with probe_chunk not dividing it must still be an
+        exhaustive scan (tail lists were silently dropped before)."""
+        x, _ = clustered_data(rng, n=1500, d=32, n_clusters=6, spread=0.05)
+        listing = build_ivfpq(jax.random.key(0), x, nlist=6, m=16, train_size=1500)
+        q = x[:6]
+        s5, i5 = ivfpq_search(listing, jnp.asarray(q), 10, nprobe=6, probe_chunk=4)
+        s1, i1 = ivfpq_search(listing, jnp.asarray(q), 10, nprobe=6, probe_chunk=6)
+        # both are full probes -> identical candidate sets
+        for b in range(6):
+            assert set(np.asarray(i5)[b]) == set(np.asarray(i1)[b])

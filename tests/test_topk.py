@@ -214,3 +214,43 @@ class TestInt8Topk:
         r_resc = np.mean([len(set(np.asarray(i_rescored)[b]) & set(oi[b]))/k for b in range(8)])
         assert r_resc >= r_plain
         assert r_resc >= 0.95
+
+
+class TestShardedEdgeCases:
+    def test_sharded_l2_metric(self, rng, mesh_dp8):
+        """L2 on a dp mesh must rank by L2, not raw IP (unnormalized data)."""
+        db = (rng.standard_normal((512, 16)) * rng.uniform(0.1, 5.0, (512, 1))).astype(np.float32)
+        q = rng.standard_normal((3, 16)).astype(np.float32)
+        dbj = mesh_dp8.put(jnp.asarray(db), mesh_dp8.rows_dp)
+        s, i = sharded_topk(mesh_dp8, jnp.asarray(q), dbj, 5, metric="l2")
+        _, oi = np_topk(q, db, 5, metric="l2")
+        np.testing.assert_array_equal(np.asarray(i), oi)
+
+    def test_shard_padding_never_displaces_negative_neighbors(self, rng, mesh_dp8):
+        """All-negative scores: zero pad rows (score 0.0) must not win."""
+        q = rng.standard_normal((2, 16)).astype(np.float32)
+        # construct db anti-correlated with q so every true score is negative
+        db = (-np.abs(rng.standard_normal((99, 2))) @ np.abs(q)).astype(np.float32)
+        n = db.shape[0]  # 99 -> padded to 104 on dp=8
+        from rag_inference_pipeline_tpu.index import FlatIndex
+
+        idx = FlatIndex(16, dtype="float32", mesh=mesh_dp8, use_fused=False)
+        idx.add(db)
+        s, i = idx.search(q, 5)
+        assert (np.asarray(i) >= 0).all()  # no -1 (masked pad) in top-k
+        _, oi = np_topk(q, db, 5)
+        np.testing.assert_array_equal(np.asarray(i), oi)
+
+    def test_exact_topk_k_larger_than_chunk(self, rng):
+        db = rng.standard_normal((600, 16)).astype(np.float32)
+        q = rng.standard_normal((2, 16)).astype(np.float32)
+        s, i = exact_topk(jnp.asarray(q), jnp.asarray(db), 300, chunk=128)
+        _, oi = np_topk(q, db, 300)
+        np.testing.assert_array_equal(np.asarray(i), oi)
+
+    def test_fused_k_beyond_nbins_rejected(self, rng):
+        db = rng.standard_normal((512, 16)).astype(np.float32)
+        q = rng.standard_normal((2, 16)).astype(np.float32)
+        with pytest.raises(ValueError, match="nbins"):
+            fused_topk(jnp.asarray(q), jnp.asarray(db), 200, nbins=128,
+                       chunk=256, interpret=True)
