@@ -88,6 +88,7 @@ class DeviceRAGPipeline:
                 ctx_docs=self.ctx_docs,
                 max_new_tokens=self.max_new_tokens,
                 use_fused=self.use_fused_topk,
+                ntotal=self.ntotal,  # masks the dp-even-sharding pad rows
             ),
             static_argnames=(),
         )
@@ -103,6 +104,11 @@ class DeviceRAGPipeline:
         space (doc_tokens are stored in decoder space). When the two spaces
         coincide (shared/hash tokenizer), the lm arrays may be omitted."""
         ctx = self.mesh
+        if query_tokens.shape[0] % ctx.dp != 0:
+            raise ValueError(
+                f"batch {query_tokens.shape[0]} must be a multiple of "
+                f"dp={ctx.dp} (pad the batch bucket up to a dp multiple)"
+            )
         qt = ctx.put(jnp.asarray(query_tokens, jnp.int32), batch_sharding(ctx))
         qm = ctx.put(jnp.asarray(query_mask, jnp.int32), batch_sharding(ctx))
         if lm_query_tokens is None:
@@ -132,13 +138,16 @@ def _rag_step(
     ctx_docs: int,
     max_new_tokens: int,
     use_fused: bool,
+    ntotal: int,
 ):
     # 1. embed queries (TP over heads/FFN, batch over dp)
     emb = bert_embed(bert_params, bert_cfg, query_tokens, query_mask)
 
     # 2. ANN over the dp-sharded database; all-gather merge of per-shard top-k
     if mesh.dp > 1:
-        scores, ids = sharded_topk(mesh, emb, db, k, use_fused=use_fused)
+        scores, ids = sharded_topk(
+            mesh, emb, db, k, use_fused=use_fused, ntotal=ntotal
+        )
     elif use_fused:
         scores, ids = fused_topk(emb.astype(db.dtype), db, k)
     else:

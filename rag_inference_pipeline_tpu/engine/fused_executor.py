@@ -42,7 +42,9 @@ class FusedExecutor:
         self.llm = llm
         self.sentiment = sentiment
         self.toxicity = toxicity
-        self._pipes: dict[int, DeviceRAGPipeline] = {}  # batch bucket -> pipe
+        # ONE pipeline: jax.jit specializes per input shape internally, and a
+        # per-bucket pipeline would duplicate the HBM-resident corpus/params
+        self._pipe: Optional[DeviceRAGPipeline] = None
         self.mesh_ctx = mesh_ctx
         self.index = index
         self.doc_tokens: Optional[np.ndarray] = None
@@ -74,11 +76,11 @@ class FusedExecutor:
         )
 
     def unload(self) -> None:
-        self._pipes.clear()
+        self._pipe = None
         self.doc_tokens = None
 
-    def _pipe_for(self, bucket: int) -> DeviceRAGPipeline:
-        if bucket not in self._pipes:
+    def _get_pipe(self) -> DeviceRAGPipeline:
+        if self._pipe is None:
             s = self.settings
             pipe = DeviceRAGPipeline(
                 mesh=self.mesh_ctx,
@@ -94,30 +96,37 @@ class FusedExecutor:
                 self.embedder.params, self.llm.params,
                 self._db_host, self.doc_tokens,
             )
-            self._pipes[bucket] = pipe
-        return self._pipes[bucket]
+            self._pipe = pipe
+        return self._pipe
+
+    def _query_len(self) -> int:
+        """Query token budget: truncate_length capped by the embedder's
+        positions and the decoder's context headroom."""
+        s = self.settings
+        lm_budget = (
+            self.llm.cfg.max_len
+            - s.max_tokens
+            - s.llm_context_docs * self.doc_tokens.shape[1]
+        )
+        return max(16, min(
+            s.truncate_length, self.embedder.cfg.max_positions, lm_budget
+        ))
 
     def process_batch(self, items: Sequence[dict]) -> list[dict]:
+        if not items:
+            return []
         s = self.settings
-        queries = [it.get("query", "") for it in items]
-        qlen = 64
-        emb_ids, emb_mask = self.embedder.tokenizer.encode_batch(queries, qlen)
-        lm_ids, lm_mask = self.llm.tokenizer.encode_batch(queries, qlen)
-        bucket = pick_bucket(len(items), s.shape_buckets)
-        emb_ids, emb_mask, lm_ids, lm_mask = (
-            pad_rows(a, bucket) for a in (emb_ids, emb_mask, lm_ids, lm_mask)
+        # batch buckets must be dp multiples (the step shards batch over dp)
+        dp = self.mesh_ctx.dp
+        buckets = tuple(
+            -(-b // dp) * dp for b in s.shape_buckets
         )
-        emb_mask[len(items):, 0] = 1  # keep padded lanes position-valid
-        lm_mask[len(items):, 0] = 1
-        pipe = self._pipe_for(bucket)
-        out = pipe.step(emb_ids, emb_mask, lm_ids, lm_mask)
-        toks = np.asarray(out.tokens)[: len(items)]
-        eos = self.llm.tokenizer.eos_id
-        texts = []
-        for row in toks:
-            stop = np.where(row == eos)[0]
-            end = int(stop[0]) if len(stop) else len(row)
-            texts.append(self.llm.tokenizer.decode(row[:end]))
+        out_texts: list[str] = []
+        max_chunk = max(buckets)
+        for start in range(0, len(items), max_chunk):
+            chunk_items = items[start : start + max_chunk]
+            out_texts.extend(self._run_chunk(chunk_items, buckets))
+        texts = out_texts
         sentiments = (
             self.sentiment.analyze_batch(texts)
             if self.sentiment is not None and self.sentiment.is_loaded
@@ -138,3 +147,24 @@ class FusedExecutor:
             }
             for text, sent, (t, _) in zip(texts, sentiments, tox)
         ]
+
+    def _run_chunk(self, items: Sequence[dict], buckets) -> list[str]:
+        queries = [it.get("query", "") for it in items]
+        qlen = self._query_len()
+        emb_ids, emb_mask = self.embedder.tokenizer.encode_batch(queries, qlen)
+        lm_ids, lm_mask = self.llm.tokenizer.encode_batch(queries, qlen)
+        bucket = pick_bucket(len(items), buckets)
+        emb_ids, emb_mask, lm_ids, lm_mask = (
+            pad_rows(a, bucket) for a in (emb_ids, emb_mask, lm_ids, lm_mask)
+        )
+        emb_mask[len(items):, 0] = 1  # keep padded lanes position-valid
+        lm_mask[len(items):, 0] = 1
+        out = self._get_pipe().step(emb_ids, emb_mask, lm_ids, lm_mask)
+        toks = np.asarray(out.tokens)[: len(items)]
+        eos = self.llm.tokenizer.eos_id
+        texts = []
+        for row in toks:
+            stop = np.where(row == eos)[0]
+            end = int(stop[0]) if len(stop) else len(row)
+            texts.append(self.llm.tokenizer.decode(row[:end]))
+        return texts

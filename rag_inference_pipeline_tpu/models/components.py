@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import hashlib
 import logging
-import threading
 from functools import partial
 from typing import Any, Optional, Sequence
 
@@ -92,7 +91,6 @@ class _BertBase:
         self.params: Optional[dict] = None
         self.tokenizer = None
         self.random_weights = False
-        self._lock = threading.Lock()
 
     @property
     def is_loaded(self) -> bool:
@@ -164,6 +162,8 @@ class EmbedderComponent(_BertBase):
     def encode(self, texts: Sequence[str]) -> np.ndarray:
         if not self.is_loaded:
             raise RuntimeError("embedder not loaded")
+        if not texts:
+            return np.zeros((0, self.dim), np.float32)
         keys = [hashlib.sha256(t.encode()).hexdigest() for t in texts]
         out: dict[int, np.ndarray] = {}
         misses: list[int] = []
@@ -215,6 +215,8 @@ class RerankerComponent(_BertBase):
     def score_pairs(self, pairs: Sequence[tuple[str, str]]) -> np.ndarray:
         if not self.is_loaded:
             raise RuntimeError("reranker not loaded")
+        if not pairs:
+            return np.zeros((0,), np.float32)
         ids, mask, tt = self.tokenizer.encode_pair_batch(pairs, self.max_len)
         logits = _bucketed_forward(
             self._fwd, self.params, (ids, mask, tt),
@@ -308,6 +310,8 @@ class LLMComponent:
         self.tokenizer = make_tokenizer(
             self.model_name, self.settings.model_weights_dir,
             vocab_size=self.cfg.vocab_size, pad_id=0, eos_id=2,
+            eos_token="<|im_end|>",  # resolved from the real vocab when a
+            # tokenizer.json is present (Qwen chat eos = 151645)
         )
         if self.settings.warmup_buckets:
             # pre-compile every (batch bucket, prefill bucket) generate
@@ -364,6 +368,8 @@ class LLMComponent:
     ) -> list[str]:
         if not self.is_loaded:
             raise RuntimeError("llm not loaded")
+        if not queries:
+            return []
         s = self.settings
         max_new = max_new_tokens or s.max_tokens
         prompts = [
@@ -476,6 +482,8 @@ class SentimentComponent(_BertBase):
     def analyze_batch(self, texts: Sequence[str]) -> list[str]:
         if not self.is_loaded:
             raise RuntimeError("sentiment not loaded")
+        if not texts:
+            return []
         texts = [t[:512] for t in texts]  # char-truncate, reference :157
         ids, mask = self.tokenizer.encode_batch(texts, self.max_len)
         logits = _bucketed_forward(
@@ -511,6 +519,8 @@ class ToxicityComponent(_BertBase):
     def check_batch(self, texts: Sequence[str]) -> list[tuple[bool, float]]:
         if not self.is_loaded:
             raise RuntimeError("toxicity not loaded")
+        if not texts:
+            return []
         texts = [t[:512] for t in texts]
         ids, mask = self.tokenizer.encode_batch(texts, self.max_len)
         logits = _bucketed_forward(

@@ -99,12 +99,25 @@ class HashTokenizer:
 class HFTokenizer:
     """Thin wrapper over a local `tokenizers` fast tokenizer file."""
 
-    def __init__(self, tokenizer_file: str, pad_id: int = 0, eos_id: int = 0):
+    def __init__(
+        self,
+        tokenizer_file: str,
+        pad_id: int = 0,
+        eos_id: int = 0,
+        eos_token: Optional[str] = None,
+    ):
         from tokenizers import Tokenizer
 
         self.tk = Tokenizer.from_file(tokenizer_file)
         self.pad_id = pad_id
-        self.eos_id = eos_id
+        # resolve the real eos id from the vocabulary when a token string is
+        # given (e.g. Qwen's <|im_end|> = 151645 — a hardcoded id would make
+        # generation never stop or truncate at an ordinary token)
+        if eos_token is not None:
+            resolved = self.tk.token_to_id(eos_token)
+            self.eos_id = resolved if resolved is not None else eos_id
+        else:
+            self.eos_id = eos_id
 
     def encode(self, text: str, max_len: int):
         enc = self.tk.encode(text)
@@ -144,6 +157,7 @@ def make_tokenizer(
     vocab_size: int,
     pad_id: int = 0,
     eos_id: Optional[int] = None,
+    eos_token: Optional[str] = None,
 ):
     """Prefer a local HF tokenizer.json next to the weights; else hash."""
     if weights_dir:
@@ -151,5 +165,8 @@ def make_tokenizer(
             weights_dir, model_name.replace("/", "__"), "tokenizer.json"
         )
         if os.path.exists(cand):
-            return HFTokenizer(cand, pad_id=pad_id, eos_id=eos_id or pad_id)
+            return HFTokenizer(
+                cand, pad_id=pad_id, eos_id=eos_id or pad_id,
+                eos_token=eos_token,
+            )
     return HashTokenizer(vocab_size=vocab_size, pad_id=pad_id, eos_id=eos_id)

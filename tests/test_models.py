@@ -218,3 +218,22 @@ class TestBucketWarmup:
         llm.load()
         # generate programs for both buckets already compiled
         assert set(llm._gen) == {(1, 16, 4), (2, 16, 4)}
+
+
+class TestEmptyInputs:
+    def test_batch_apis_accept_empty(self, tiny_settings):
+        from rag_inference_pipeline_tpu.models import (
+            EmbedderComponent, LLMComponent, RerankerComponent,
+            SentimentComponent, ToxicityComponent,
+        )
+
+        emb = EmbedderComponent(tiny_settings); emb.load()
+        assert emb.encode([]).shape == (0, 64)
+        rr = RerankerComponent(tiny_settings); rr.load()
+        assert rr.score_pairs([]).shape == (0,)
+        s = SentimentComponent(tiny_settings); s.load()
+        assert s.analyze_batch([]) == []
+        t = ToxicityComponent(tiny_settings); t.load()
+        assert t.check_batch([]) == []
+        llm = LLMComponent(tiny_settings); llm.load()
+        assert llm.generate_batch([], []) == []
