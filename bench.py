@@ -65,6 +65,7 @@ def main() -> None:
 
     # VMEM budget: DB block (chunk x d, double-buffered) + [B, chunk] scores
     # + [B, nbins] accumulators must fit 16 MB; int8 blocks are half size
+    interpret = jax.default_backend() == "cpu"  # Pallas on CPU = interpret
     if args.kernel == "int8":
         chunk = 4096
         db_i8, db_scales = quantize_rows_int8(db.astype(jnp.float32))
@@ -75,14 +76,16 @@ def main() -> None:
         def search(q):
             return fused_topk_int8(
                 q.astype(jnp.float32), db_i8, db_scales, k,
-                nbins=args.nbins, chunk=chunk,
+                nbins=args.nbins, chunk=chunk, interpret=interpret,
                 rescore_db=db, rescore_k=64,
             )
     else:
         chunk = 2048
 
         def search(q):
-            return fused_topk(q, db, k, nbins=args.nbins, chunk=chunk)
+            return fused_topk(
+                q, db, k, nbins=args.nbins, chunk=chunk, interpret=interpret
+            )
 
     # recall vs on-device exact (full-precision) oracle
     es, ei = exact_topk(q0, db, k, chunk=131072)

@@ -144,7 +144,17 @@ void* ds_open(const char* path, int populate) {
   s->base = (const uint8_t*)base;
   s->size = (size_t)st.st_size;
   s->header = (const Header*)s->base;
-  if (s->header->magic != kMagic) {
+  // reject truncated/corrupt files up front: every slot and the arena
+  // offset must lie inside the mapping, and nslots must be a power of two
+  // (the probe masks assume it) — otherwise ds_get would chase pointers
+  // past the mmap and SIGSEGV instead of failing the open.
+  const Header& h = *s->header;
+  bool ok = h.magic == kMagic && h.nslots > 0 &&
+            (h.nslots & (h.nslots - 1)) == 0 &&
+            h.nslots <= (s->size - sizeof(Header)) / sizeof(Slot) &&
+            h.arena_offset >= sizeof(Header) + h.nslots * sizeof(Slot) &&
+            h.arena_offset <= s->size;
+  if (!ok) {
     munmap(base, s->size);
     close(fd);
     delete s;
@@ -178,6 +188,11 @@ int ds_get(void* handle, int64_t id, const char** title, int32_t* title_len,
     const Slot& sl = s->slots[slot];
     if (sl.id == kEmpty) return -1;
     if (sl.id == (uint64_t)id) {
+      // bound the payload against the arena so a corrupt slot can't hand
+      // out pointers past the mapping
+      uint64_t arena_size = s->size - s->header->arena_offset;
+      uint64_t need = sl.offset + (uint64_t)sl.title_len + sl.content_len;
+      if (sl.offset > arena_size || need > arena_size) return -1;
       *title = (const char*)(s->arena + sl.offset);
       *title_len = (int32_t)sl.title_len;
       *content = (const char*)(s->arena + sl.offset + sl.title_len);

@@ -236,10 +236,16 @@ class DecodeEngine:
                 r.future.set_exception(RuntimeError("decode engine stopped"))
 
     def _collect(self, lane: int, req: _Request) -> list[int]:
-        """Fetch a lane's emissions (fixed-shape row transfer — a dynamic
-        slice length would compile a fresh XLA program per (lane, n))."""
+        """Fetch ONE lane's emissions as a fixed-shape [1, cap] row.
+
+        dynamic_slice keeps the lane index a runtime operand, so every lane
+        shares one cached executable and the transfer is ~4 KB — not the
+        whole [lanes, cap] buffer (which would erode the device-resident
+        emission optimization at scale), and not a per-(lane, n) recompile
+        (a dynamic slice *length* would specialize per shape)."""
         n = min(req.written, req.max_new_tokens, self.cache_len)
-        toks = [int(t) for t in np.asarray(self.emit_buf)[lane, :n]]
+        row = jax.lax.dynamic_slice_in_dim(self.emit_buf, lane, 1, axis=0)
+        toks = [int(t) for t in np.asarray(row)[0, :n]]
         if self.eos in toks:
             toks = toks[: toks.index(self.eos)]
         return toks

@@ -60,8 +60,14 @@ class DeviceRAGPipeline:
         qwen_params: dict,
         db: np.ndarray,  # [N, D] corpus embeddings
         doc_tokens: np.ndarray,  # [N, doc_tok_len] int32 doc token ids
+        doc_token_mask: Optional[np.ndarray] = None,  # [N, L] validity mask
     ) -> None:
         ctx = self.mesh
+        if doc_token_mask is None:
+            # hash-tokenizer convention (pad id 0, never a real token);
+            # real tokenizers must pass the explicit mask — id 0 can be a
+            # legitimate vocab token (e.g. '!' in Qwen's vocabulary)
+            doc_token_mask = (np.asarray(doc_tokens) > 0).astype(np.int32)
         self.bert_params = shard_params(
             ctx, bert_params, bert_param_sharding(ctx, bert_params)
         )
@@ -77,6 +83,7 @@ class DeviceRAGPipeline:
         # token store is replicated: the gather by global row id happens on
         # every device after the top-k merge (k is tiny)
         self.doc_tokens = ctx.put(jnp.asarray(doc_tokens, jnp.int32))
+        self.doc_token_mask = ctx.put(jnp.asarray(doc_token_mask, jnp.int32))
         self.ntotal = n
         self._step = jax.jit(
             functools.partial(
@@ -117,7 +124,7 @@ class DeviceRAGPipeline:
         lm = ctx.put(jnp.asarray(lm_query_mask, jnp.int32), batch_sharding(ctx))
         return self._step(
             self.bert_params, self.qwen_params, self.db, self.doc_tokens,
-            qt, qm, lt, lm,
+            self.doc_token_mask, qt, qm, lt, lm,
         )
 
 
@@ -126,6 +133,7 @@ def _rag_step(
     qwen_params,
     db,
     doc_tokens,
+    doc_token_mask,
     query_tokens,
     query_mask,
     lm_query_tokens,
@@ -157,9 +165,14 @@ def _rag_step(
     #    docs' tokens + the query tokens, all static shapes
     b = query_tokens.shape[0]
     ctx_ids = ids[:, :ctx_docs]  # [B, C]
-    ctx_toks = jnp.take(doc_tokens, jnp.clip(ctx_ids, 0), axis=0)  # [B, C, L]
+    safe_ids = jnp.clip(ctx_ids, 0)
+    ctx_toks = jnp.take(doc_tokens, safe_ids, axis=0)  # [B, C, L]
+    # validity = explicit per-token store mask AND a real retrieval hit
+    # (ids of -1 — fewer than ctx_docs hits — must not attend to doc 0)
+    tok_mask = jnp.take(doc_token_mask, safe_ids, axis=0)  # [B, C, L]
+    tok_mask = tok_mask * (ctx_ids >= 0).astype(jnp.int32)[:, :, None]
     ctx_flat = ctx_toks.reshape(b, -1)
-    ctx_mask = (ctx_flat > 0).astype(jnp.int32)
+    ctx_mask = tok_mask.reshape(b, -1)
     prompt = jnp.concatenate([ctx_flat, lm_query_tokens], axis=1)
     pmask = jnp.concatenate([ctx_mask, lm_query_mask], axis=1)
     # the decoder requires right-padded prompts (prefill writes the cache

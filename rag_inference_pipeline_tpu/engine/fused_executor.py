@@ -14,6 +14,7 @@ built by scripts/create_test_docs.py --tokens.
 from __future__ import annotations
 
 import logging
+import os
 from typing import Optional, Sequence
 
 import numpy as np
@@ -58,6 +59,17 @@ class FusedExecutor:
         if not s.doc_tokens_path:
             raise ValueError("use_fused_pipeline requires doc_tokens_path")
         self.doc_tokens = np.load(s.doc_tokens_path).astype(np.int32)
+        # explicit validity mask written by create_test_docs --tokens; with a
+        # real tokenizer `ids > 0` is wrong (id 0 can be a vocab token)
+        mask_path = s.doc_tokens_path.replace(".npy", "_mask.npy")
+        if os.path.exists(mask_path):
+            self.doc_token_mask = np.load(mask_path).astype(np.int32)
+        else:
+            logger.warning(
+                "no %s — falling back to `token id > 0` as the pad test "
+                "(only safe for the hash tokenizer)", mask_path,
+            )
+            self.doc_token_mask = (self.doc_tokens > 0).astype(np.int32)
         inner = getattr(self.index, "index", self.index)
         if inner.kind != "flat" or getattr(inner, "_db", None) is None:
             raise ValueError(
@@ -78,6 +90,7 @@ class FusedExecutor:
     def unload(self) -> None:
         self._pipe = None
         self.doc_tokens = None
+        self.doc_token_mask = None
 
     def _get_pipe(self) -> DeviceRAGPipeline:
         if self._pipe is None:
@@ -94,7 +107,7 @@ class FusedExecutor:
             )
             pipe.build(
                 self.embedder.params, self.llm.params,
-                self._db_host, self.doc_tokens,
+                self._db_host, self.doc_tokens, self.doc_token_mask,
             )
             self._pipe = pipe
         return self._pipe

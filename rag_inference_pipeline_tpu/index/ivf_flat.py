@@ -31,10 +31,18 @@ class IVFFlatIndex(BaseIndex):
         dtype: str = "bfloat16",
         cap_factor: float = 1.5,
         mesh: Optional[MeshContext] = None,
+        exact: bool = False,
     ) -> None:
         super().__init__(dim, metric)
         self.nlist = nlist
         self.nprobe = nprobe
+        # exact=True routes TPU searches through the XLA gather path, which
+        # is exact within probed lists (faiss IndexIVFFlat semantics). The
+        # default Pallas streaming scan keeps at most one candidate per
+        # in-list position across probed lists — two true neighbors landing
+        # at the same position collapse to one (measured recall impact at 1M
+        # is nil: recall is nprobe-limited, PERF_NOTES.md "IVF on TPU at 1M")
+        self.exact = exact
         self.dtype_name = dtype
         self.cap_factor = cap_factor
         self.mesh = mesh
@@ -70,8 +78,12 @@ class IVFFlatIndex(BaseIndex):
             raise RuntimeError("ivf_flat index not loaded")
         q = self.validate_queries(queries)
         # TPU + IP: streaming Pallas bucket scan (no gather intermediate);
-        # CPU / L2: XLA path
-        if self.metric == "ip" and jax.default_backend() not in ("cpu",):
+        # CPU / L2 / exact=True: XLA path (exact within probed lists)
+        if (
+            not self.exact
+            and self.metric == "ip"
+            and jax.default_backend() not in ("cpu",)
+        ):
             return ivf_search_pallas(self._listing, q, k, nprobe=self.nprobe)
         return ivf_search(
             self._listing, q, k, nprobe=self.nprobe, metric=self.metric

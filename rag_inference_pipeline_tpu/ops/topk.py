@@ -119,6 +119,12 @@ def _binmax_kernel(q_ref, db_ref, nrows_ref, vals_ref, idxs_ref, *, nbins, chunk
     nrows_ref:[1, 1]      SMEM: true (unpadded) DB row count
     vals_ref: [B, nbins]  output/accumulator: running bin max scores
     idxs_ref: [B, nbins]  output/accumulator: running bin argmax (global row)
+
+    Layout discipline (the round-1 kernel ran at ~12% of HBM SoL): the chunk
+    is scored as chunk//nbins sequential [B, nbins] sub-block matmuls whose
+    *columns ARE the bins* — the accumulator update is one compare and two
+    selects per sub-block with no reshape (cross-lane relayout), no argmax,
+    and only a 2-D iota. Bin semantics are unchanged: bin(row) = row % nbins.
     """
     i = pl.program_id(0)
 
@@ -127,29 +133,22 @@ def _binmax_kernel(q_ref, db_ref, nrows_ref, vals_ref, idxs_ref, *, nbins, chunk
         vals_ref[:] = jnp.full_like(vals_ref, NEG_INF)
         idxs_ref[:] = jnp.full_like(idxs_ref, -1)
 
-    # [B, chunk] scores on the MXU; f32 accumulation.
-    s = jax.lax.dot_general(
-        q_ref[:],
-        db_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    b = s.shape[0]
-    rows_per_bin = chunk // nbins
-    # column j -> (r, l): j = r*nbins + l; bin l, in-bin row r.
-    s3 = s.reshape(b, rows_per_bin, nbins)
-    gid = i * chunk + jax.lax.broadcasted_iota(
-        jnp.int32, (b, rows_per_bin, nbins), 1
-    ) * nbins + jax.lax.broadcasted_iota(jnp.int32, (b, rows_per_bin, nbins), 2)
-    s3 = jnp.where(gid < nrows_ref[0, 0], s3, NEG_INF)
-    new_max = jnp.max(s3, axis=1)  # [B, nbins]
-    arg = jnp.argmax(s3, axis=1).astype(jnp.int32)  # [B, nbins] in-bin row r*
-    new_idx = i * chunk + arg * nbins + jax.lax.broadcasted_iota(
-        jnp.int32, (b, nbins), 1
-    )
-    better = new_max > vals_ref[:]
-    vals_ref[:] = jnp.where(better, new_max, vals_ref[:])
-    idxs_ref[:] = jnp.where(better, new_idx, idxs_ref[:])
+    b = vals_ref.shape[0]
+    nrows = nrows_ref[0, 0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, nbins), 1)
+    for j in range(chunk // nbins):
+        # [B, nbins] scores on the MXU; f32 accumulation.
+        s = jax.lax.dot_general(
+            q_ref[:],
+            db_ref[j * nbins : (j + 1) * nbins, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        gid = (i * chunk + j * nbins) + col
+        s = jnp.where(gid < nrows, s, NEG_INF)
+        better = s > vals_ref[:]
+        vals_ref[:] = jnp.where(better, s, vals_ref[:])
+        idxs_ref[:] = jnp.where(better, gid, idxs_ref[:])
 
 
 def binmax_partial_topk(
@@ -201,6 +200,10 @@ def binmax_partial_topk(
             flops=2 * b_pad * n_pad * d,
             bytes_accessed=n_pad * d * db.dtype.itemsize + b_pad * d * 4,
             transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # sequential accumulator over grid steps — not parallelizable
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(q, db, nrows)
@@ -259,7 +262,8 @@ def _binmax_kernel_int8(
     q_ref, db_ref, scale_ref, nrows_ref, vals_ref, idxs_ref, *, nbins, chunk
 ):
     """Int8 variant: scores = (q_i8 . db_i8) * row_scale (query scales are
-    applied outside — they do not change per-query ranking)."""
+    applied outside — they do not change per-query ranking). Same
+    sub-block/column-bin layout discipline as _binmax_kernel."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -267,27 +271,21 @@ def _binmax_kernel_int8(
         vals_ref[:] = jnp.full_like(vals_ref, NEG_INF)
         idxs_ref[:] = jnp.full_like(idxs_ref, -1)
 
-    s = jax.lax.dot_general(
-        q_ref[:],
-        db_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32) * scale_ref[0, :][None, :]
-    b = s.shape[0]
-    rows_per_bin = chunk // nbins
-    s3 = s.reshape(b, rows_per_bin, nbins)
-    gid = i * chunk + jax.lax.broadcasted_iota(
-        jnp.int32, (b, rows_per_bin, nbins), 1
-    ) * nbins + jax.lax.broadcasted_iota(jnp.int32, (b, rows_per_bin, nbins), 2)
-    s3 = jnp.where(gid < nrows_ref[0, 0], s3, NEG_INF)
-    new_max = jnp.max(s3, axis=1)
-    arg = jnp.argmax(s3, axis=1).astype(jnp.int32)
-    new_idx = i * chunk + arg * nbins + jax.lax.broadcasted_iota(
-        jnp.int32, (b, nbins), 1
-    )
-    better = new_max > vals_ref[:]
-    vals_ref[:] = jnp.where(better, new_max, vals_ref[:])
-    idxs_ref[:] = jnp.where(better, new_idx, idxs_ref[:])
+    b = vals_ref.shape[0]
+    nrows = nrows_ref[0, 0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, nbins), 1)
+    for j in range(chunk // nbins):
+        s = jax.lax.dot_general(
+            q_ref[:],
+            db_ref[j * nbins : (j + 1) * nbins, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * scale_ref[0, j * nbins : (j + 1) * nbins][None, :]
+        gid = (i * chunk + j * nbins) + col
+        s = jnp.where(gid < nrows, s, NEG_INF)
+        better = s > vals_ref[:]
+        vals_ref[:] = jnp.where(better, s, vals_ref[:])
+        idxs_ref[:] = jnp.where(better, gid, idxs_ref[:])
 
 
 def binmax_partial_topk_int8(
@@ -338,6 +336,9 @@ def binmax_partial_topk_int8(
             flops=2 * b_pad * n_pad * d,
             bytes_accessed=n_pad * d + b_pad * d + n_pad * 4,
             transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(queries_i8, db_i8, scales_2d, nrows)

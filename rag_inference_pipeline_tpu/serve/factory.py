@@ -69,6 +69,22 @@ class IndexComponent:
         if self.settings.index_path:
             self.index = BaseIndex.load(self.settings.index_path, self.mesh)
             self.index.warmup(self.settings.retrieval_k)
+            if self.settings.warmup_buckets:
+                # pre-compile every (batch-bucket, ladder-k) search program so
+                # no first request stalls on a 20-40s remote XLA compile
+                import jax
+                import jax.numpy as jnp
+
+                k_ladder = sorted({self.settings.retrieval_k, 16, 32, 64, 128})
+                ks = [k for k in k_ladder if k <= self.index.ntotal]
+                for b in self.settings.shape_buckets:
+                    q = jnp.zeros((b, self.index.dim), jnp.float32)
+                    for k in ks:
+                        jax.block_until_ready(self.index.search(q, k))
+                logger.info(
+                    "index warmup: %d bucket x %d k programs compiled",
+                    len(self.settings.shape_buckets), len(ks),
+                )
         else:
             # empty index of the configured kind; build/ingest via API or bench
             self.index = make_index(self.settings, self.mesh)

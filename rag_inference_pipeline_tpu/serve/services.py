@@ -29,6 +29,7 @@ from ..core.enums import PayloadMode
 from ..telemetry.metrics import STAGE_DURATION
 from ..telemetry.profiling import SampledStageProfiler
 from ..utils.cache import LRUCache
+from ..utils.shapes import chunk_spans, pad_rows, pick_bucket
 from .compression import pack_docs, unpack_docs
 from .schemas import TOXIC_PLACEHOLDER
 
@@ -68,6 +69,13 @@ class RetrievalExecutor:
         )
         self._timer = _StageTimer(settings, "retrieval")
         self.profiler = SampledStageProfiler(settings, "retrieval")
+        # jitted search programs are specialized on (batch, k): quantize both
+        # to ladders so a novel request shape never triggers a fresh XLA
+        # compile on the hot path (project rule: no dynamic batch into jit)
+        self._buckets = tuple(sorted(settings.shape_buckets))
+        self._k_ladder = tuple(
+            sorted({settings.retrieval_k, 16, 32, 64, 128})
+        )
 
     def ready(self, items: Sequence[dict]) -> Optional[str]:
         """Readiness gating (reference retrieval/api.py:218-239): index must
@@ -141,8 +149,26 @@ class RetrievalExecutor:
             k_max = max(
                 (items[i].get("k") or k_default) for i in miss_rows
             )
-            s, idx = self.index.search(embs[miss_rows], k_max)
-            s, idx = np.asarray(s), np.asarray(idx)
+            # bucket k so searches reuse a handful of compiled programs;
+            # never below k_max, never above ntotal (lax.top_k requires it)
+            k_eff = (
+                pick_bucket(k_max, self._k_ladder)
+                if k_max <= self._k_ladder[-1]
+                else k_max
+            )
+            ntotal = getattr(self.index, "ntotal", 0) or k_eff
+            k_eff = max(k_max, min(k_eff, ntotal))
+            miss_embs = embs[miss_rows]
+            s_parts, idx_parts = [], []
+            for lo, hi in chunk_spans(len(miss_rows), self._buckets[-1]):
+                n = hi - lo
+                bucket = pick_bucket(n, self._buckets)
+                qpad = pad_rows(miss_embs[lo:hi], bucket)
+                s_b, idx_b = self.index.search(qpad, k_eff)
+                s_parts.append(np.asarray(s_b)[:n])
+                idx_parts.append(np.asarray(idx_b)[:n])
+            s = np.concatenate(s_parts)
+            idx = np.concatenate(idx_parts)
             for j, i in enumerate(miss_rows):
                 k = items[i].get("k") or k_default
                 row_ids = [int(x) for x in idx[j, :k] if x >= 0]

@@ -137,12 +137,16 @@ def main() -> None:
             llm.model_name, get_settings().model_weights_dir,
             vocab_size=llm.cfg.vocab_size, pad_id=0, eos_id=2,
         )
-        tok_ids, _ = llm.tokenizer.encode_batch(
+        tok_ids, tok_mask = llm.tokenizer.encode_batch(
             [d[2] for d in docs], args.doc_tok_len
         )
         tok_path = os.path.join(args.out_dir, "doc_tokens.npy")
         np.save(tok_path, tok_ids.astype(np.int32))
-        print(f"doc token store: {tok_path} {tok_ids.shape}")
+        # explicit validity mask: token id 0 can be a real vocab token under
+        # a real tokenizer, so `ids > 0` is not a safe pad test downstream
+        mask_path = os.path.join(args.out_dir, "doc_tokens_mask.npy")
+        np.save(mask_path, tok_mask.astype(np.uint8))
+        print(f"doc token store: {tok_path} {tok_ids.shape} (+mask)")
     print(
         "\nServe with:\n"
         f"  INDEX_PATH={index_path} DOCUMENT_DB_PATH={db_path} "
