@@ -1,0 +1,204 @@
+// Multithreaded CPU flat / IVF-flat scan — the honest FAISS stand-in for
+// bench.py's vs_baseline ratio (faiss-cpu is not installable in this image;
+// the reference's retrieval hot loop is faiss's C++ scan invoked at
+// src/pipeline/components/faiss_store.py:113-158, target hardware a 16-core
+// Xeon Gold 6242 per .env.prod:5-10).
+//
+// Exposes a C ABI consumed via ctypes (no pybind11 in the image):
+//   cs_scan_f32    exact f32 inner-product top-k (IndexFlatIP analog)
+//   cs_scan_i8     int8 scan + per-row dequant (SQ8 analog, same index
+//                  memory as the TPU int8 index)
+//   cs_scan_ivf_f32 IVF-flat probe: centroid scan -> nprobe list scans
+//                  (IndexIVFFlat analog, nlist/nprobe semantics of
+//                  create_test_docs.py:84-104)
+//
+// Parallelism: rows are partitioned across std::thread workers, each keeps
+// per-query k-heaps, merged at the end — the same work decomposition faiss
+// uses under OpenMP. Build: make -C native (adds -O3 -march=native).
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Cand {
+  float s;
+  int32_t id;
+};
+
+// Fixed-size min-heap over score (root = worst retained candidate).
+struct KHeap {
+  std::vector<Cand> h;
+  int k;
+  explicit KHeap(int k_) : k(k_) { h.reserve(k_); }
+  inline void push(float s, int32_t id) {
+    if ((int)h.size() < k) {
+      h.push_back({s, id});
+      std::push_heap(h.begin(), h.end(),
+                     [](const Cand& a, const Cand& b) { return a.s > b.s; });
+    } else if (s > h.front().s) {
+      std::pop_heap(h.begin(), h.end(),
+                    [](const Cand& a, const Cand& b) { return a.s > b.s; });
+      h.back() = {s, id};
+      std::push_heap(h.begin(), h.end(),
+                     [](const Cand& a, const Cand& b) { return a.s > b.s; });
+    }
+  }
+};
+
+inline float dot_f32(const float* a, const float* b, int d) {
+  float acc = 0.f;
+#pragma GCC ivdep
+  for (int j = 0; j < d; ++j) acc += a[j] * b[j];
+  return acc;
+}
+
+inline int32_t dot_i8(const int8_t* a, const int8_t* b, int d) {
+  int32_t acc = 0;
+#pragma GCC ivdep
+  for (int j = 0; j < d; ++j)
+    acc += (int32_t)a[j] * (int32_t)b[j];
+  return acc;
+}
+
+void emit_sorted(std::vector<KHeap>& heaps, int b, int k, float* out_s,
+                 int32_t* out_i) {
+  for (int qi = 0; qi < b; ++qi) {
+    auto& h = heaps[qi].h;
+    std::sort(h.begin(), h.end(),
+              [](const Cand& a, const Cand& c) { return a.s > c.s; });
+    for (int j = 0; j < k; ++j) {
+      if (j < (int)h.size()) {
+        out_s[qi * k + j] = h[j].s;
+        out_i[qi * k + j] = h[j].id;
+      } else {
+        out_s[qi * k + j] = -3.0e38f;
+        out_i[qi * k + j] = -1;
+      }
+    }
+  }
+}
+
+// Merge per-thread heaps into thread 0's heaps.
+void merge_heaps(std::vector<std::vector<KHeap>>& all, int b) {
+  for (size_t t = 1; t < all.size(); ++t)
+    for (int qi = 0; qi < b; ++qi)
+      for (const Cand& c : all[t][qi].h) all[0][qi].push(c.s, c.id);
+}
+
+int clamp_threads(int nthreads) {
+  int hw = (int)std::thread::hardware_concurrency();
+  if (hw <= 0) hw = 1;
+  if (nthreads <= 0 || nthreads > hw) nthreads = hw;
+  return nthreads;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Exact f32 flat scan. q [b,d], db [n,d] row-major. out_s/out_i [b,k].
+void cs_scan_f32(const float* q, int b, const float* db, int64_t n, int d,
+                 int k, int nthreads, float* out_s, int32_t* out_i) {
+  nthreads = clamp_threads(nthreads);
+  std::vector<std::vector<KHeap>> heaps(
+      nthreads, std::vector<KHeap>(b, KHeap(k)));
+  std::vector<std::thread> ts;
+  int64_t per = (n + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    int64_t lo = t * per, hi = std::min(n, lo + per);
+    ts.emplace_back([&, t, lo, hi]() {
+      for (int64_t r = lo; r < hi; ++r) {
+        const float* row = db + r * d;
+        for (int qi = 0; qi < b; ++qi)
+          heaps[t][qi].push(dot_f32(q + (int64_t)qi * d, row, d), (int32_t)r);
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  merge_heaps(heaps, b);
+  emit_sorted(heaps[0], b, k, out_s, out_i);
+}
+
+// Int8 scan with per-row dequant scales (SQ8). q is pre-quantized int8
+// (query scale is rank-preserving per query and applied by the caller).
+void cs_scan_i8(const int8_t* q, int b, const int8_t* db, int64_t n, int d,
+                const float* scales, int k, int nthreads, float* out_s,
+                int32_t* out_i) {
+  nthreads = clamp_threads(nthreads);
+  std::vector<std::vector<KHeap>> heaps(
+      nthreads, std::vector<KHeap>(b, KHeap(k)));
+  std::vector<std::thread> ts;
+  int64_t per = (n + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    int64_t lo = t * per, hi = std::min(n, lo + per);
+    ts.emplace_back([&, t, lo, hi]() {
+      for (int64_t r = lo; r < hi; ++r) {
+        const int8_t* row = db + r * d;
+        float sc = scales[r];
+        for (int qi = 0; qi < b; ++qi)
+          heaps[t][qi].push(sc * (float)dot_i8(q + (int64_t)qi * d, row, d),
+                            (int32_t)r);
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  merge_heaps(heaps, b);
+  emit_sorted(heaps[0], b, k, out_s, out_i);
+}
+
+// IVF-flat probe. centroids [nlist,d]; vectors stored list-major in `codes`
+// [n,d] with `ids` [n] giving global row ids and `offsets` [nlist+1] the
+// list boundaries. For each query: exact scan of centroids, take nprobe
+// best lists, exact scan of their members. Parallelized over queries
+// (matches faiss's per-query IVF parallelism for batch search).
+void cs_scan_ivf_f32(const float* q, int b, const float* centroids,
+                     int nlist, int d, const float* codes,
+                     const int32_t* ids, const int64_t* offsets, int nprobe,
+                     int k, int nthreads, float* out_s, int32_t* out_i) {
+  nthreads = clamp_threads(nthreads);
+  if (nprobe > nlist) nprobe = nlist;
+  std::atomic<int> next{0};
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nthreads; ++t) {
+    ts.emplace_back([&]() {
+      std::vector<Cand> cd(nlist);
+      for (;;) {
+        int qi = next.fetch_add(1);
+        if (qi >= b) break;
+        const float* qv = q + (int64_t)qi * d;
+        for (int c = 0; c < nlist; ++c)
+          cd[c] = {dot_f32(qv, centroids + (int64_t)c * d, d), c};
+        std::partial_sort(
+            cd.begin(), cd.begin() + nprobe, cd.end(),
+            [](const Cand& a, const Cand& c) { return a.s > c.s; });
+        KHeap h(k);
+        for (int p = 0; p < nprobe; ++p) {
+          int list = cd[p].id;
+          for (int64_t r = offsets[list]; r < offsets[list + 1]; ++r)
+            h.push(dot_f32(qv, codes + r * d, d), ids[r]);
+        }
+        std::sort(h.h.begin(), h.h.end(),
+                  [](const Cand& a, const Cand& c) { return a.s > c.s; });
+        for (int j = 0; j < k; ++j) {
+          if (j < (int)h.h.size()) {
+            out_s[qi * k + j] = h.h[j].s;
+            out_i[qi * k + j] = h.h[j].id;
+          } else {
+            out_s[qi * k + j] = -3.0e38f;
+            out_i[qi * k + j] = -1;
+          }
+        }
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+}
+
+int cs_hw_threads() { return (int)std::thread::hardware_concurrency(); }
+
+}  // extern "C"

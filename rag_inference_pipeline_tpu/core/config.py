@@ -99,6 +99,11 @@ class Settings(BaseModel):
     truncate_length: int = 512
     llm_context_docs: int = 3
     llm_doc_chars: int = 200
+    # n-gram (prompt-lookup) speculative decoding: token-identical to greedy,
+    # commits up to gamma+1 tokens per model call when the answer quotes the
+    # retrieved context (models/qwen.py::ngram_speculative_generate)
+    use_speculative_decoding: bool = False
+    speculative_gamma: int = 8
 
     # --- payload / compression (reference :205-223) ---
     documents_payload_mode: PayloadMode = PayloadMode.FULL

@@ -14,7 +14,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.mesh import MeshContext
-from ..ops.ivf import IVFListing, build_ivf, ivf_search, ivf_search_pallas
+from ..ops.ivf import (
+    IVFListing,
+    build_ivf,
+    ivf_search,
+    ivf_search_dedup,
+    ivf_search_pallas,
+)
 from .base import BaseIndex, save_npz, storage_dtype
 
 
@@ -32,6 +38,7 @@ class IVFFlatIndex(BaseIndex):
         cap_factor: float = 1.5,
         mesh: Optional[MeshContext] = None,
         exact: bool = False,
+        dedup: bool = True,
     ) -> None:
         super().__init__(dim, metric)
         self.nlist = nlist
@@ -43,6 +50,11 @@ class IVFFlatIndex(BaseIndex):
         # at the same position collapse to one (measured recall impact at 1M
         # is nil: recall is nprobe-limited, PERF_NOTES.md "IVF on TPU at 1M")
         self.exact = exact
+        # dedup=True (default) uses the batch-deduped cluster-major kernel:
+        # each probed bucket is DMA'd once per BATCH and it is exact within
+        # probed lists (no positional collapse) — strictly dominates the
+        # per-query streaming scan for batch > 1 (round-2 kernel)
+        self.dedup = dedup
         self.dtype_name = dtype
         self.cap_factor = cap_factor
         self.mesh = mesh
@@ -77,13 +89,18 @@ class IVFFlatIndex(BaseIndex):
         if not self._loaded:
             raise RuntimeError("ivf_flat index not loaded")
         q = self.validate_queries(queries)
-        # TPU + IP: streaming Pallas bucket scan (no gather intermediate);
-        # CPU / L2 / exact=True: XLA path (exact within probed lists)
+        # TPU + IP: batch-deduped cluster-major kernel (default) or the
+        # per-query streaming scan; CPU / L2 / exact=True: XLA path (exact
+        # within probed lists)
         if (
             not self.exact
             and self.metric == "ip"
             and jax.default_backend() not in ("cpu",)
         ):
+            if self.dedup:
+                return ivf_search_dedup(
+                    self._listing, q, k, nprobe=self.nprobe
+                )
             return ivf_search_pallas(self._listing, q, k, nprobe=self.nprobe)
         return ivf_search(
             self._listing, q, k, nprobe=self.nprobe, metric=self.metric

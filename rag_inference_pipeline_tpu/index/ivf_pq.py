@@ -15,7 +15,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.mesh import MeshContext
-from ..ops.pq import IVFPQListing, build_ivfpq, ivfpq_search
+from ..ops.pq import (
+    IVFPQListing,
+    build_ivfpq,
+    ivfpq4_search_dedup,
+    ivfpq_search,
+)
 from ..ops.topk import NEG_INF
 from .base import BaseIndex, save_npz
 
@@ -34,10 +39,16 @@ class IVFPQIndex(BaseIndex):
         rescore_k: int = 0,
         opq: bool = False,
         mesh: Optional[MeshContext] = None,
+        ksub: int = 256,
     ) -> None:
         super().__init__(dim, "ip")  # residual-ADC path is IP-metric
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by pq m {m}")
+        if ksub not in (16, 256):
+            raise ValueError("ksub must be 16 (PQ4) or 256 (PQ8)")
+        # ksub=16 (PQ4) enables the one-hot MXU ADC dedup kernel on TPU —
+        # the gather-free scan; double m to keep bits/row equal to PQ8
+        self.ksub = ksub
         self.nlist = nlist
         self.m = m
         self.nprobe = nprobe
@@ -73,7 +84,7 @@ class IVFPQIndex(BaseIndex):
             )
             r, _ = train_opq(
                 jax.random.key(seed), jnp.asarray(v[sel]), self.m,
-                iters=4, pq_iters=pq_iters,
+                iters=4, pq_iters=pq_iters, ksub=self.ksub,
             )
             self._rotation = r
             v = np.asarray(jnp.asarray(v) @ r)
@@ -87,6 +98,7 @@ class IVFPQIndex(BaseIndex):
             pq_iters=pq_iters,
             cap_factor=self.cap_factor,
             seed=seed,
+            ksub=self.ksub,
         )
         if self.rescore_k > 0:
             self._vectors = jnp.asarray(v, jnp.bfloat16)
@@ -99,11 +111,21 @@ class IVFPQIndex(BaseIndex):
         q = self.validate_queries(queries)
         if self._rotation is not None:
             q = q.astype(jnp.float32) @ self._rotation
+        interpret = jax.default_backend() == "cpu"
+        if self.ksub == 16:
+            def adc(qq, kk):
+                return ivfpq4_search_dedup(
+                    self._listing, qq, kk, nprobe=self.nprobe,
+                    interpret=interpret,
+                )
+        else:
+            def adc(qq, kk):
+                return ivfpq_search(self._listing, qq, kk, nprobe=self.nprobe)
         if self.rescore_k and self._vectors is not None:
             shortlist = max(k, self.rescore_k)
-            s, i = ivfpq_search(self._listing, q, shortlist, nprobe=self.nprobe)
+            s, i = adc(q, shortlist)
             return _exact_rescore(q, self._vectors, s, i, k)
-        return ivfpq_search(self._listing, q, k, nprobe=self.nprobe)
+        return adc(q, k)
 
     def save(self, path: str) -> None:
         if not self._loaded:
@@ -124,6 +146,7 @@ class IVFPQIndex(BaseIndex):
             ntotal=self.ntotal,
             cap_factor=self.cap_factor,
             rescore_k=self.rescore_k,
+            ksub=self.ksub,
             centroids=np.asarray(l.centroids, np.float32),
             codebooks=np.asarray(l.codebooks, np.float32),
             code_buckets=np.asarray(l.code_buckets),
@@ -143,6 +166,7 @@ class IVFPQIndex(BaseIndex):
                 cap_factor=float(z["cap_factor"]),
                 rescore_k=int(z["rescore_k"]),
                 mesh=mesh,
+                ksub=int(z["ksub"]) if "ksub" in z else 256,
             )
             idx._listing = IVFPQListing(
                 centroids=jnp.asarray(z["centroids"], jnp.float32),

@@ -15,9 +15,11 @@ from .components import (
 from .qwen import (
     QwenConfig,
     greedy_generate,
+    ngram_speculative_generate,
     init_qwen_params,
     qwen_decode_step,
     qwen_forward,
+    qwen_extend,
     qwen_prefill,
 )
 from .tokenizer import HashTokenizer, HFTokenizer, make_tokenizer
@@ -35,9 +37,11 @@ __all__ = [
     "ToxicityComponent",
     "QwenConfig",
     "greedy_generate",
+    "ngram_speculative_generate",
     "init_qwen_params",
     "qwen_decode_step",
     "qwen_forward",
+    "qwen_extend",
     "qwen_prefill",
     "HashTokenizer",
     "HFTokenizer",

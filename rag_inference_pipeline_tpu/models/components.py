@@ -351,15 +351,35 @@ class LLMComponent:
     def _gen_fn(self, bucket: int, prompt_len: int, max_new: int):
         key = (bucket, prompt_len, max_new)
         if key not in self._gen:
-            self._gen[key] = jax.jit(
-                partial(
-                    greedy_generate,
+            if self.settings.use_speculative_decoding:
+                from .qwen import ngram_speculative_generate
+
+                spec = partial(
+                    ngram_speculative_generate,
                     cfg=self.cfg,
                     max_new_tokens=max_new,
+                    gamma=self.settings.speculative_gamma,
                     eos_token_id=self.tokenizer.eos_id,
                     cache_len=prompt_len + max_new,
                 )
-            )
+
+                def fn(params, input_ids, attn_mask):
+                    toks, _ = spec(
+                        params, input_ids=input_ids, attn_mask=attn_mask
+                    )
+                    return toks
+
+                self._gen[key] = jax.jit(fn)
+            else:
+                self._gen[key] = jax.jit(
+                    partial(
+                        greedy_generate,
+                        cfg=self.cfg,
+                        max_new_tokens=max_new,
+                        eos_token_id=self.tokenizer.eos_id,
+                        cache_len=prompt_len + max_new,
+                    )
+                )
         return self._gen[key]
 
     def generate_batch(

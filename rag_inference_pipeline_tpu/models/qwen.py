@@ -283,3 +283,155 @@ def greedy_generate(
         step, (first, cache, done0), None, length=max_new_tokens - 1
     )
     return jnp.concatenate([first[:, None], rest.T], axis=1)
+
+
+def qwen_extend(
+    params: dict,
+    cfg: QwenConfig,
+    tokens: jax.Array,  # [B, T] window to consume (T = gamma + 1)
+    cache: KVCache,
+) -> tuple[jax.Array, KVCache]:
+    """Multi-token decode step: consume a T-token window per lane starting at
+    cache.length, returning logits for EVERY window position [B, T, V].
+
+    The speculative-verify primitive: one call scores gamma draft tokens at
+    nearly the cost of one decode step (decode is weight/KV-bandwidth-bound;
+    T<=16 extra columns ride along free on the MXU). cache.length advances by
+    T; callers roll it back to the accepted prefix (stale KV entries beyond
+    `length` are never attended and are overwritten by later writes).
+    """
+    b, t = tokens.shape
+    s = cache.k.shape[2]
+    cos, sin = rope_frequencies(cfg.head_dim, cfg.max_len, cfg.rope_theta)
+    positions = cache.length[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
+    x = jnp.take(params["embed"], tokens, axis=0)  # [B, T, H]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, t, s), 2)
+    mask = (cols <= positions[:, :, None])[:, None]  # [B, 1, T, S]
+    new_k, new_v = [], []
+    for li, lp in enumerate(params["layers"]):
+        x, kf, vf = _block(
+            lp, cfg, x, cos, sin, positions, cache.k[li], cache.v[li], mask
+        )
+        new_k.append(kf)
+        new_v.append(vf)
+    cache = KVCache(
+        k=jnp.stack(new_k), v=jnp.stack(new_v), length=cache.length + t
+    )
+    return _logits(params, cfg, x), cache
+
+
+def ngram_speculative_generate(
+    params: dict,
+    cfg: QwenConfig,
+    input_ids: jax.Array,  # [B, T] right-padded
+    attn_mask: jax.Array,
+    max_new_tokens: int,
+    *,
+    gamma: int = 8,
+    eos_token_id: int = -1,
+    cache_len: Optional[int] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Greedy decode with n-gram (prompt-lookup) self-speculation.
+
+    Token-identical to greedy_generate: each iteration drafts `gamma` tokens
+    by bigram-matching the current suffix against the PROMPT and verifies
+    them with one qwen_extend call; the committed tokens are always the
+    model's own greedy argmaxes, acceptance only controls how many commit
+    per call. RAG answers quote their retrieved context, so prompt-lookup
+    acceptance is high exactly where the reference workload lives
+    (reference hot loop: llm.py:343-350 emits one token per forward).
+
+    Returns (tokens [B, max_new_tokens] eos-padded, mean_tokens_per_call f32).
+    """
+    b, t = input_ids.shape
+    s = cache_len or (t + max_new_tokens)
+    s = s + gamma + 1  # verify windows may overhang before rollback
+    cache = KVCache.zeros(
+        cfg.layers, b, s, cfg.kv_heads, cfg.head_dim,
+        dtype=params["embed"].dtype,
+    )
+    logits, cache = qwen_prefill(params, cfg, input_ids, attn_mask, cache)
+    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    done0 = first == eos_token_id
+
+    out_w = max_new_tokens + gamma + 1  # + scratch tail for masked writes
+    out0 = jnp.full((b, out_w), eos_token_id, jnp.int32)
+    out0 = out0.at[:, 0].set(first)
+    prompt_len = jnp.sum(attn_mask, axis=1).astype(jnp.int32)  # [B]
+
+    def draft_fn(ctx_row, plen, last2):
+        """Bigram prompt lookup: last occurrence of (last2[0], last2[1]) in
+        the prompt -> copy the following gamma tokens."""
+        tt = ctx_row.shape[0]
+        pos = jnp.arange(tt - 1, dtype=jnp.int32)
+        hit = (
+            (ctx_row[:-1] == last2[0])
+            & (ctx_row[1:] == last2[1])
+            & (pos + 1 < plen)
+        )
+        idx = jnp.max(jnp.where(hit, pos, -1))
+        start = jnp.clip(idx + 2, 0, tt - 1)
+        win = jax.lax.dynamic_slice_in_dim(ctx_row, start, min(gamma, tt))
+        if win.shape[0] < gamma:
+            win = jnp.pad(win, (0, gamma - win.shape[0]))
+        # no match -> draft the last token repeated (cheap, fails fast)
+        return jnp.where(idx >= 0, win, jnp.full((gamma,), last2[1]))
+
+    def cond(state):
+        _, _, n_out, _, done, it = state
+        return jnp.logical_and(~jnp.all(done), it < max_new_tokens)
+
+    def body(state):
+        cache, out, n_out, last, done, it = state
+        prev = jnp.where(n_out >= 2, out[jnp.arange(b), n_out - 2], last)
+        drafts = jax.vmap(draft_fn)(
+            input_ids, prompt_len, jnp.stack([prev, last], axis=1)
+        )  # [B, gamma]
+        window = jnp.concatenate([last[:, None], drafts], axis=1)  # [B, g+1]
+        logits, new_cache = qwen_extend(params, cfg, window, cache)
+        targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, g+1]
+        # accepted prefix: drafts[j] == targets[j] for all j' <= j
+        ok = drafts == targets[:, :-1]  # [B, gamma]
+        n_acc = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)
+        # committed tokens = targets[0..n_acc]; truncate at first eos
+        j = jnp.arange(gamma + 1, dtype=jnp.int32)[None]
+        within = j <= n_acc[:, None]
+        is_eos = (targets == eos_token_id) & within
+        any_eos = jnp.any(is_eos, axis=1)
+        eos_at = jnp.argmax(is_eos, axis=1)
+        commit = jnp.where(any_eos, eos_at + 1, n_acc + 1)
+        commit = jnp.where(done, 0, commit)
+        commit = jnp.minimum(commit, max_new_tokens - n_out)
+        # write targets[0..commit) at out[n_out..]; masked writes go to the
+        # scratch tail (index >= max_new_tokens)
+        def write(o, tgt, start, cnt):
+            for jj in range(gamma + 1):
+                dst = jnp.where(jj < cnt, start + jj, out_w - 1)
+                o = jax.lax.dynamic_update_slice(o, tgt[jj : jj + 1], (dst,))
+            return o
+
+        out = jax.vmap(write)(out, targets, n_out, commit)
+        out = out.at[:, max_new_tokens:].set(eos_token_id)  # clean scratch
+        # roll the cache back to the accepted prefix: consumed = last + the
+        # accepted drafts = commit entries (cap at n_acc+1; eos truncation
+        # only shortens the OUTPUT, the consumed prefix stays valid)
+        consumed = jnp.where(done, 0, jnp.minimum(commit, n_acc + 1))
+        new_len = cache.length + consumed
+        new_cache = KVCache(
+            k=new_cache.k, v=new_cache.v, length=new_len
+        )
+        new_last = targets[
+            jnp.arange(b), jnp.clip(commit - 1, 0, gamma)
+        ]
+        new_last = jnp.where(done, last, new_last)
+        n_out = n_out + commit
+        done = done | any_eos | (n_out >= max_new_tokens)
+        return (new_cache, out, n_out, new_last, done, it + 1)
+
+    n_out0 = jnp.where(done0, jnp.ones((b,), jnp.int32), 1)
+    state = (cache, out0, n_out0, first, done0, jnp.array(0, jnp.int32))
+    cache, out, n_out, _, _, iters = jax.lax.while_loop(cond, body, state)
+    mean_per_call = jnp.sum(n_out - 1).astype(jnp.float32) / jnp.maximum(
+        iters.astype(jnp.float32) * b, 1.0
+    )
+    return out[:, :max_new_tokens], mean_per_call

@@ -260,6 +260,118 @@ def ivf_search_pallas(
     return top_s, jnp.take_along_axis(out_ids, sel, axis=1)
 
 
+# ---------------------------------------------------------------------------
+# Batch-deduped cluster-major scan (round 2, PERF_NOTES gap #2): the probed
+# cluster sets of a batch overlap heavily, and both paths above read a bucket
+# once PER QUERY that probes it. Here the batch's probe sets are UNIONed
+# (compaction via stable top_k over a scatter mask), each unique bucket is
+# DMA'd exactly once and scored against ALL queries on the MXU, and per-query
+# membership is restored by masking outside the kernel. HBM traffic drops
+# from B*nprobe buckets to |union| buckets (~8x at B=32, nprobe=64, 1M).
+# ---------------------------------------------------------------------------
+
+
+def dedup_probes(
+    probe: jax.Array, nlist: int, n_slots: int
+) -> tuple[jax.Array, jax.Array]:
+    """Union the batch's probed cluster ids.
+
+    probe [B, nprobe] i32 -> (slots [n_slots] i32, member [B, n_slots] bool).
+    Probed clusters come first in `slots` (lax.top_k is stable: ties keep
+    ascending index order); surplus slots hold unprobed cluster ids whose
+    candidates are masked off by `member`.
+    """
+    mask = jnp.zeros((nlist,), jnp.float32).at[probe.reshape(-1)].set(1.0)
+    _, slots = jax.lax.top_k(mask, n_slots)
+    member = (probe[:, :, None] == slots[None, None, :]).any(axis=1)
+    return slots.astype(jnp.int32), member
+
+
+def _dedup_bucket_kernel(slots_ref, q_ref, bucket_ref, out_ref):
+    """Grid step s: score every query against unique bucket slots[s]."""
+    del slots_ref  # consumed by the index_map
+    s = jax.lax.dot_general(
+        q_ref[:],  # [b_pad, D]
+        bucket_ref[0],  # [cap, D]
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [b_pad, cap]
+    out_ref[:] = s[None]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "max_slots", "interpret")
+)
+def ivf_search_dedup(
+    listing: IVFListing,
+    queries: jax.Array,
+    k: int,
+    *,
+    nprobe: int = 64,
+    max_slots: int = 0,  # 0 = min(nlist, B * nprobe)
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """IVF search (IP) reading each probed bucket once per BATCH.
+
+    The latency-serving (batch <= 4) fast path: at B=4/nprobe=64 the kernel
+    streams ~256 buckets (~0.15 GB at bf16) instead of the flat scan's full
+    corpus — and unlike ivf_search_pallas it is exact within probed lists
+    (no positional bin collapse).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    nlist, cap, d = listing.buckets.shape
+    nprobe = min(nprobe, nlist)
+    b = queries.shape[0]
+    b_pad = ((max(b, 8) + 7) // 8) * 8
+    n_slots = max_slots or min(nlist, b * nprobe)
+    n_slots = min(n_slots, nlist)
+    qf = queries.astype(jnp.float32)
+    coarse = jnp.dot(qf, listing.centroids.T, preferred_element_type=jnp.float32)
+    _, probe = jax.lax.top_k(coarse, nprobe)  # [B, nprobe]
+    slots, member = dedup_probes(probe.astype(jnp.int32), nlist, n_slots)
+
+    q = qf.astype(listing.buckets.dtype)
+    if b_pad != b:
+        q = jnp.pad(q, ((0, b_pad - b), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_slots,),
+        in_specs=[
+            pl.BlockSpec((b_pad, d), lambda s, slots: (0, 0)),
+            pl.BlockSpec((1, cap, d), lambda s, slots: (slots[s], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, b_pad, cap), lambda s, slots: (s, 0, 0)),
+    )
+    scores = pl.pallas_call(
+        _dedup_bucket_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_slots, b_pad, cap), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_slots * cap * d,
+            bytes_accessed=n_slots * cap * d * listing.buckets.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(slots, q, listing.buckets)
+
+    ids_g = listing.ids[slots]  # [n_slots, cap]
+    s_bq = jnp.transpose(scores[:, :b, :], (1, 0, 2))  # [B, n_slots, cap]
+    valid = member[:, :, None] & (ids_g >= 0)[None]
+    s_bq = jnp.where(valid, s_bq, NEG_INF)
+    flat_s = s_bq.reshape(b, n_slots * cap)
+    flat_i = jnp.broadcast_to(
+        ids_g.reshape(1, n_slots * cap), (b, n_slots * cap)
+    )
+    k_eff = min(k, n_slots * cap)
+    top_s, sel = jax.lax.top_k(flat_s, k_eff)
+    return top_s, jnp.take_along_axis(flat_i, sel, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
 def ivf_search(
     listing: IVFListing,

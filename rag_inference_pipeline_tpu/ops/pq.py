@@ -263,8 +263,14 @@ def build_ivfpq(
     pq_iters: int = 12,
     cap_factor: float = 1.5,
     seed: int = 0,
+    ksub: int = 256,
 ) -> IVFPQListing:
-    """IVF-PQ build: coarse k-means, residual PQ training, bucketed codes."""
+    """IVF-PQ build: coarse k-means, residual PQ training, bucketed codes.
+
+    ksub=256 -> PQ8 (gather-ADC search path); ksub=16 -> PQ4 whose code
+    buckets are lane-padded so the one-hot MXU ADC kernel
+    (ivfpq4_search_dedup) can stream them.
+    """
     from .ivf import layout_inverted_lists
     from .kmeans import assign_clusters
 
@@ -281,7 +287,8 @@ def build_ivfpq(
     cent_np = np.asarray(centroids)
     residuals = x_host.astype(np.float32) - cent_np[assignments]
     codebooks = train_pq(
-        kp, jnp.asarray(residuals[sel[: min(train_size, n)]]), m, iters=pq_iters
+        kp, jnp.asarray(residuals[sel[: min(train_size, n)]]), m,
+        iters=pq_iters, ksub=ksub,
     )
     codes = np.asarray(pq_encode(jnp.asarray(residuals), codebooks))
 
@@ -291,9 +298,14 @@ def build_ivfpq(
         x_host, cent_np, assignments, cap_factor=cap_factor
     )
     cap = ids_np.shape[1]
-    code_buckets = np.zeros((nlist, cap, m), np.uint8)
+    m_store = m
+    if ksub == 16:
+        # lane-pad M so Pallas bucket blocks [1, cap, m_store] tile cleanly;
+        # padded subspaces encode 0 against zero codebooks -> contribute 0
+        m_store = max(128, ((m + 127) // 128) * 128)
+    code_buckets = np.zeros((nlist, cap, m_store), np.uint8)
     mask = ids_np >= 0
-    code_buckets[mask] = codes[ids_np[mask]]
+    code_buckets[mask, :m] = codes[ids_np[mask]]
     return IVFPQListing(
         centroids=jnp.asarray(cent_np, jnp.float32),
         codebooks=codebooks,
@@ -318,7 +330,8 @@ def ivfpq_search(
     lists are scored in `probe_chunk` blocks to bound the gather working set.
     Returns (scores [B,k] f32, ids [B,k] i32).
     """
-    nlist, cap, m = listing.code_buckets.shape
+    nlist, cap, _m_store = listing.code_buckets.shape
+    m = listing.codebooks.shape[0]  # _m_store may be lane-padded (PQ4)
     nprobe = min(nprobe, nlist)
     b = queries.shape[0]
     qf = queries.astype(jnp.float32)
@@ -345,7 +358,7 @@ def ivfpq_search(
         bs, bi = carry
         pr = jax.lax.dynamic_slice_in_dim(probe, pi * probe_chunk, probe_chunk, 1)
         cs = jax.lax.dynamic_slice_in_dim(coarse_s, pi * probe_chunk, probe_chunk, 1)
-        codes_g = listing.code_buckets[pr]  # [B, pc, cap, M]
+        codes_g = listing.code_buckets[..., :m][pr]  # [B, pc, cap, M]
         ids_g = listing.ids[pr]  # [B, pc, cap]
 
         # batched ADC: each query gathers from its own LUT row
@@ -375,3 +388,141 @@ def ivfpq_search(
     )
     (s, i), _ = jax.lax.scan(body, init, jnp.arange(nprobe // probe_chunk))
     return s, i
+
+
+# ---------------------------------------------------------------------------
+# PQ4 one-hot MXU ADC, batch-deduped cluster-major (round 2, PERF_NOTES gap
+# #3): the TPU has no vectorized VMEM gather, so 256-entry LUT lookups are
+# hostile; with 4-bit codes the per-group lookup becomes TWO small matmuls —
+#   (1) codes_g [cap, 8] @ S [8, 128] broadcasts each code value across its
+#       16-lane field (S is a static 0/1 selection matrix),
+#   (2) onehot(cap,128) = (broadcast == lane%16), then
+#       lut_g [B, 128] x onehot^T accumulates scores on the MXU.
+# Each unique probed bucket's codes stream HBM->VMEM exactly once per batch
+# (scalar-prefetch slots, same dedup as ops.ivf.ivf_search_dedup); the
+# one-hot never exists outside VMEM. This is the faiss "precomputed tables +
+# SIMD scan" analog (reference faiss_store.py:96-100) rebuilt for the MXU.
+# ---------------------------------------------------------------------------
+
+
+def _adc4_kernel(slots_ref, lut_ref, codes_ref, out_ref, *, m, cap):
+    """Grid step s: ADC-score unique bucket slots[s] for every query.
+
+    lut_ref:   [b_pad, m*16]  bf16 per-query LUTs (VMEM-resident)
+    codes_ref: [1, cap, m_store] uint8 PQ4 codes of this bucket
+    out_ref:   [1, b_pad, cap] f32 scores
+    """
+    del slots_ref
+    b_pad = lut_ref.shape[0]
+    codes = codes_ref[0]  # [cap, m_store]
+    # static selection matrix S[s, c] = 1 if c // 16 == s  (8 subspaces ->
+    # 128 lanes); and the lane value pattern c % 16
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    col128 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    sel = (row8 == col128 // 16).astype(jnp.bfloat16)
+    vals = (
+        jax.lax.broadcasted_iota(jnp.int32, (cap, 128), 1) % 16
+    )
+    acc = jnp.zeros((b_pad, cap), jnp.float32)
+    for g in range(m // 8):
+        cg = codes[:, g * 8 : (g + 1) * 8].astype(jnp.bfloat16)  # [cap, 8]
+        bcast = jnp.dot(cg, sel, preferred_element_type=jnp.float32)
+        onehot = (bcast == vals.astype(jnp.float32)).astype(jnp.bfloat16)
+        lut_g = lut_ref[:, g * 128 : (g + 1) * 128]  # [b_pad, 128]
+        acc = acc + jax.lax.dot_general(
+            lut_g,
+            onehot,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[:] = acc[None]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "max_slots", "interpret")
+)
+def ivfpq4_search_dedup(
+    listing: IVFPQListing,
+    queries: jax.Array,
+    k: int,
+    *,
+    nprobe: int = 64,
+    max_slots: int = 0,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """IVF-PQ4 search (IP, residual codes) with the one-hot MXU ADC kernel.
+
+    Requires a listing built with ksub=16 (PQ4). Returns
+    (scores [B,k] f32, ids [B,k] i32). Scores are coarse + residual-ADC
+    approximations; callers wanting exactness re-score survivors.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .ivf import dedup_probes
+
+    nlist, cap, m_store = listing.code_buckets.shape
+    m, ksub, _ = listing.codebooks.shape
+    if ksub != 16:
+        raise ValueError("ivfpq4_search_dedup requires a PQ4 (ksub=16) listing")
+    if m % 8:
+        raise ValueError("PQ4 ADC kernel needs m % 8 == 0")
+    nprobe = min(nprobe, nlist)
+    b = queries.shape[0]
+    b_pad = ((max(b, 8) + 7) // 8) * 8
+    n_slots = max_slots or min(nlist, b * nprobe)
+    n_slots = min(n_slots, nlist)
+    qf = queries.astype(jnp.float32)
+
+    coarse = jnp.dot(
+        qf, listing.centroids.T, preferred_element_type=jnp.float32
+    )
+    coarse_s, probe = jax.lax.top_k(coarse, nprobe)
+    slots, member = dedup_probes(probe.astype(jnp.int32), nlist, n_slots)
+
+    lut = pq_lut(qf, listing.codebooks)  # [B, m*16]
+    if b_pad != b:
+        lut = jnp.pad(lut, ((0, b_pad - b), (0, 0)))
+    lut = lut.astype(jnp.bfloat16)
+
+    kern = functools.partial(_adc4_kernel, m=m, cap=cap)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_slots,),
+        in_specs=[
+            pl.BlockSpec((b_pad, m * 16), lambda s, slots: (0, 0)),
+            pl.BlockSpec((1, cap, m_store), lambda s, slots: (slots[s], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, b_pad, cap), lambda s, slots: (s, 0, 0)),
+    )
+    scores = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_slots, b_pad, cap), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_slots * cap * m * 16,
+            bytes_accessed=n_slots * cap * m_store,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(slots, lut, listing.code_buckets)
+
+    ids_g = listing.ids[slots]  # [n_slots, cap]
+    # residual identity: score = q . centroid_probe + q . residual
+    coarse_term = jnp.take_along_axis(
+        coarse, jnp.broadcast_to(slots[None, :], (b, n_slots)), axis=1
+    )  # [B, n_slots]
+    s_bq = jnp.transpose(scores[:, :b, :], (1, 0, 2))  # [B, n_slots, cap]
+    s_bq = s_bq + coarse_term[:, :, None]
+    valid = member[:, :, None] & (ids_g >= 0)[None]
+    s_bq = jnp.where(valid, s_bq, NEG_INF)
+    flat_s = s_bq.reshape(b, n_slots * cap)
+    flat_i = jnp.broadcast_to(
+        ids_g.reshape(1, n_slots * cap), (b, n_slots * cap)
+    )
+    k_eff = min(k, n_slots * cap)
+    top_s, sel = jax.lax.top_k(flat_s, k_eff)
+    return top_s, jnp.take_along_axis(flat_i, sel, axis=1)

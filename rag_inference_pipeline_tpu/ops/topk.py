@@ -391,6 +391,186 @@ def fused_topk_int8(
 
 
 # ---------------------------------------------------------------------------
+# Global-scale int8 scan: the fast path. One scalar scale for the whole DB
+# means scores compare directly in the int32 domain — no f32 convert, no
+# per-row scale multiply, no scale stream from HBM. Padded-tail masking only
+# runs on the final grid step. Combined this roughly halves the VPU work per
+# sub-block vs the per-row-scale kernel, which was the bottleneck once the
+# DMA was overlapped (PERF_NOTES.md round-2 kernel push).
+# ---------------------------------------------------------------------------
+
+INT32_MIN = -(2**31) + 1
+
+
+def quantize_global_int8(
+    x: jax.Array, *, clip_pct: float = 99.9
+) -> tuple[jax.Array, jax.Array]:
+    """Symmetric int8 quantization with ONE global scale (clipped at the
+    `clip_pct` percentile of per-row maxabs so a single outlier row cannot
+    crush resolution for everyone). Returns (q [N,D] i8, scale f32 scalar).
+
+    Ranking in the int32 score domain equals ranking of true inner products
+    up to quantization error (the scale is a positive constant)."""
+    xf = x.astype(jnp.float32)
+    maxabs = jnp.max(jnp.abs(xf), axis=-1)
+    clip = jnp.maximum(jnp.percentile(maxabs, clip_pct), 1e-9)
+    scale = clip / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _binmax_kernel_int8gs(
+    q_ref, db_ref, nrows_ref, vals_ref, steps_ref, *, nbins, chunk, nsteps
+):
+    """Global-scale int8 grid step. Accumulators live in the int32 domain:
+    vals [B, nbins] i32 running bin max, steps [B, nbins] i32 running
+    sub-block id of that max (row = step * nbins + bin_column). Only the
+    final grid step pays the padded-tail mask; every other step is
+    matmul + compare + two selects per sub-block."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        vals_ref[:] = jnp.full_like(vals_ref, INT32_MIN)
+        steps_ref[:] = jnp.full_like(steps_ref, -1)
+
+    b = vals_ref.shape[0]
+    sub = chunk // nbins
+
+    def scores(j):
+        return jax.lax.dot_general(
+            q_ref[:],
+            db_ref[j * nbins : (j + 1) * nbins, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    def update(j, s):
+        better = s > vals_ref[:]
+        vals_ref[:] = jnp.where(better, s, vals_ref[:])
+        step = i * sub + j
+        steps_ref[:] = jnp.where(better, step, steps_ref[:])
+
+    @pl.when(i < nsteps - 1)
+    def _body():
+        for j in range(sub):
+            update(j, scores(j))
+
+    @pl.when(i == nsteps - 1)
+    def _last():
+        nrows = nrows_ref[0, 0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (b, nbins), 1)
+        for j in range(sub):
+            s = scores(j)
+            gid = (i * chunk + j * nbins) + col
+            s = jnp.where(gid < nrows, s, INT32_MIN)
+            update(j, s)
+
+
+def binmax_partial_topk_int8gs(
+    queries_i8: jax.Array,  # [B, D] int8 (pre-quantized)
+    db_i8: jax.Array,  # [N, D] int8, global-scale quantized
+    *,
+    nbins: int = 1024,
+    chunk: int = 8192,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Global-scale int8 partial top-k. Returns (vals [B,nbins] i32 raw
+    int-domain scores, idxs [B,nbins] i32 global row ids, -1 = empty bin)."""
+    n, d = db_i8.shape
+    b = queries_i8.shape[0]
+    if chunk % nbins != 0:
+        raise ValueError(f"chunk ({chunk}) must be a multiple of nbins ({nbins})")
+    b_pad = _round_up(max(b, 32), 32)  # int8 sublane tile is 32
+    n_pad = _round_up(n, chunk)
+    if b_pad != b:
+        queries_i8 = jnp.pad(queries_i8, ((0, b_pad - b), (0, 0)))
+    if n_pad != n:
+        db_i8 = jnp.pad(db_i8, ((0, n_pad - n), (0, 0)))
+    n_chunks = n_pad // chunk
+    nrows = jnp.array([[n]], dtype=jnp.int32)
+
+    kern = functools.partial(
+        _binmax_kernel_int8gs, nbins=nbins, chunk=chunk, nsteps=n_chunks
+    )
+    vals, steps = pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((b_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b_pad, nbins), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, nbins), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, nbins), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, nbins), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_pad * d,
+            bytes_accessed=n_pad * d + b_pad * d,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(queries_i8, db_i8, nrows)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b_pad, nbins), 1)
+    idxs = jnp.where(steps >= 0, steps * nbins + col, -1)
+    return vals[:b], idxs[:b]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "nbins", "chunk", "interpret", "rescore_k"),
+)
+def fused_topk_int8gs(
+    queries: jax.Array,  # [B, D] float — quantized internally
+    db_i8: jax.Array,
+    db_scale: jax.Array,  # scalar f32 (from quantize_global_int8)
+    k: int,
+    *,
+    nbins: int = 1024,
+    chunk: int = 8192,
+    interpret: bool = False,
+    rescore_db: Optional[jax.Array] = None,  # [N, D] full-precision rows
+    rescore_k: int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """Global-scale quantized flat search: int8 scan (int32-domain compare)
+    + top-k over the nbins survivors, with optional exact bf16 re-score of
+    the top rescore_k candidates (recovers the quantization recall gap)."""
+    qf = queries.astype(jnp.float32)
+    q_scale = jnp.maximum(jnp.max(jnp.abs(qf)), 1e-9) / 127.0
+    q_i8 = jnp.clip(jnp.round(qf / q_scale), -127, 127).astype(jnp.int8)
+    vals_i, idxs = binmax_partial_topk_int8gs(
+        q_i8, db_i8, nbins=nbins, chunk=chunk, interpret=interpret
+    )
+    vals = jnp.where(
+        idxs >= 0,
+        vals_i.astype(jnp.float32) * (q_scale * db_scale),
+        NEG_INF,
+    )
+    if rescore_db is not None and rescore_k > k:
+        shortlist = min(rescore_k, vals.shape[1])
+        _, sel = jax.lax.top_k(vals, shortlist)
+        cand_ids = jnp.take_along_axis(idxs, sel, axis=1)  # [B, S]
+        cand = jnp.take(rescore_db, jnp.clip(cand_ids, 0), axis=0)
+        exact = jnp.einsum(
+            "bsd,bd->bs", cand, queries.astype(cand.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        exact = jnp.where(cand_ids >= 0, exact, NEG_INF)
+        s, sel2 = jax.lax.top_k(exact, min(k, shortlist))
+        return s, jnp.take_along_axis(cand_ids, sel2, axis=1)
+    s, sel = jax.lax.top_k(vals, min(k, vals.shape[1]))
+    return s, jnp.take_along_axis(idxs, sel, axis=1)
+
+
+# ---------------------------------------------------------------------------
 # Sharded search: DB rows sharded over dp; local scan + all-gather merge.
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,136 @@
+"""ctypes wrapper for the native CPU scan library (native/cpuscan.cc) — the
+honest FAISS stand-in used by bench.py's vs_baseline ratio and the CPU
+baseline experiments. The reference's equivalent hot loop is faiss-cpu's
+C++ scan (src/pipeline/components/faiss_store.py:113-158); faiss itself is
+not installable in this image (no egress), so this first-party multithreaded
+scan plays its role on the bench host.
+
+Builds the shared library on demand via `make -C native` (same pattern as
+utils/docstore.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libragcpuscan.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_lock = threading.Lock()
+
+_F32P = ctypes.POINTER(ctypes.c_float)
+_I8P = ctypes.POINTER(ctypes.c_int8)
+_I32P = ctypes.POINTER(ctypes.c_int32)
+_I64P = ctypes.POINTER(ctypes.c_int64)
+
+
+def load_lib() -> ctypes.CDLL:
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH):
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(os.path.abspath(_LIB_PATH))
+        lib.cs_scan_f32.argtypes = [
+            _F32P, ctypes.c_int, _F32P, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, _F32P, _I32P,
+        ]
+        lib.cs_scan_i8.argtypes = [
+            _I8P, ctypes.c_int, _I8P, ctypes.c_int64, ctypes.c_int, _F32P,
+            ctypes.c_int, ctypes.c_int, _F32P, _I32P,
+        ]
+        lib.cs_scan_ivf_f32.argtypes = [
+            _F32P, ctypes.c_int, _F32P, ctypes.c_int, ctypes.c_int, _F32P,
+            _I32P, _I64P, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            _F32P, _I32P,
+        ]
+        lib.cs_hw_threads.restype = ctypes.c_int
+        _lib = lib
+        return lib
+
+
+def hw_threads() -> int:
+    return int(load_lib().cs_hw_threads())
+
+
+def scan_f32(
+    queries: np.ndarray, db: np.ndarray, k: int, *, nthreads: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact f32 inner-product top-k (IndexFlatIP analog)."""
+    q = np.ascontiguousarray(queries, np.float32)
+    d_ = np.ascontiguousarray(db, np.float32)
+    b, n = q.shape[0], d_.shape[0]
+    out_s = np.empty((b, k), np.float32)
+    out_i = np.empty((b, k), np.int32)
+    load_lib().cs_scan_f32(
+        q.ctypes.data_as(_F32P), b, d_.ctypes.data_as(_F32P),
+        ctypes.c_int64(n), q.shape[1], k, nthreads,
+        out_s.ctypes.data_as(_F32P), out_i.ctypes.data_as(_I32P),
+    )
+    return out_s, out_i
+
+
+def scan_i8(
+    queries_i8: np.ndarray,
+    db_i8: np.ndarray,
+    scales: np.ndarray,
+    k: int,
+    *,
+    nthreads: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Int8 scan with per-row dequant (SQ8 analog — equal index memory to
+    the TPU int8 index). Query int8 quantization is the caller's job."""
+    q = np.ascontiguousarray(queries_i8, np.int8)
+    d_ = np.ascontiguousarray(db_i8, np.int8)
+    sc = np.ascontiguousarray(scales, np.float32)
+    b, n = q.shape[0], d_.shape[0]
+    out_s = np.empty((b, k), np.float32)
+    out_i = np.empty((b, k), np.int32)
+    load_lib().cs_scan_i8(
+        q.ctypes.data_as(_I8P), b, d_.ctypes.data_as(_I8P),
+        ctypes.c_int64(n), q.shape[1], sc.ctypes.data_as(_F32P), k, nthreads,
+        out_s.ctypes.data_as(_F32P), out_i.ctypes.data_as(_I32P),
+    )
+    return out_s, out_i
+
+
+def scan_ivf_f32(
+    queries: np.ndarray,
+    centroids: np.ndarray,
+    codes: np.ndarray,
+    ids: np.ndarray,
+    offsets: np.ndarray,
+    nprobe: int,
+    k: int,
+    *,
+    nthreads: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """IVF-flat probe (IndexIVFFlat analog): codes are list-major [n, d],
+    ids [n] global row ids, offsets [nlist+1] int64 list boundaries."""
+    q = np.ascontiguousarray(queries, np.float32)
+    c = np.ascontiguousarray(centroids, np.float32)
+    v = np.ascontiguousarray(codes, np.float32)
+    li = np.ascontiguousarray(ids, np.int32)
+    off = np.ascontiguousarray(offsets, np.int64)
+    b, nlist = q.shape[0], c.shape[0]
+    out_s = np.empty((b, k), np.float32)
+    out_i = np.empty((b, k), np.int32)
+    load_lib().cs_scan_ivf_f32(
+        q.ctypes.data_as(_F32P), b, c.ctypes.data_as(_F32P), nlist,
+        q.shape[1], v.ctypes.data_as(_F32P), li.ctypes.data_as(_I32P),
+        off.ctypes.data_as(_I64P), nprobe, k, nthreads,
+        out_s.ctypes.data_as(_F32P), out_i.ctypes.data_as(_I32P),
+    )
+    return out_s, out_i

@@ -1,0 +1,121 @@
+"""n-gram speculative decoding: the committed tokens must be EXACTLY the
+greedy tokens for any prompt/weights (acceptance only affects speed).
+Reference decode hot loop: llm.py:343-350 (one token per forward)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rag_inference_pipeline_tpu.models import (
+    QwenConfig,
+    greedy_generate,
+    init_qwen_params,
+    ngram_speculative_generate,
+    qwen_decode_step,
+    qwen_extend,
+)
+from rag_inference_pipeline_tpu.models.qwen import KVCache, qwen_prefill
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = QwenConfig.tiny()
+    params = init_qwen_params(jax.random.key(0), cfg, jnp.float32)
+    return cfg, params
+
+
+def _prompts(rng, cfg, b, t, min_len=8):
+    ids = rng.integers(1, cfg.vocab_size, (b, t)).astype(np.int32)
+    lens = rng.integers(min_len, t + 1, b)
+    mask = (np.arange(t)[None] < lens[:, None]).astype(np.int32)
+    return jnp.asarray(ids * mask), jnp.asarray(mask)
+
+
+class TestQwenExtend:
+    def test_matches_sequential_decode_steps(self, tiny, rng):
+        cfg, params = tiny
+        b, t, g = 2, 12, 4
+        ids, mask = _prompts(rng, cfg, b, t)
+        cache = KVCache.zeros(
+            cfg.layers, b, t + 8, cfg.kv_heads, cfg.head_dim,
+            dtype=jnp.float32,
+        )
+        logits0, cache0 = qwen_prefill(params, cfg, ids, mask, cache)
+        toks = rng.integers(1, cfg.vocab_size, (b, g)).astype(np.int32)
+        # sequential decode steps
+        c = cache0
+        seq_logits = []
+        for j in range(g):
+            lg, c = qwen_decode_step(params, cfg, jnp.asarray(toks[:, j]), c)
+            seq_logits.append(lg)
+        # one extend call
+        ext_logits, c2 = qwen_extend(params, cfg, jnp.asarray(toks), cache0)
+        for j in range(g):
+            np.testing.assert_allclose(
+                np.asarray(ext_logits[:, j]), np.asarray(seq_logits[j]),
+                rtol=2e-4, atol=2e-4,
+            )
+        np.testing.assert_array_equal(
+            np.asarray(c2.length), np.asarray(c.length)
+        )
+
+
+class TestSpeculativeIdentity:
+    @pytest.mark.parametrize("gamma", [2, 4, 7])
+    def test_token_identity_vs_greedy(self, tiny, rng, gamma):
+        cfg, params = tiny
+        b, t, max_new = 3, 24, 18
+        ids, mask = _prompts(rng, cfg, b, t)
+        g = greedy_generate(params, cfg, ids, mask, max_new, eos_token_id=5)
+        s, mpc = ngram_speculative_generate(
+            params, cfg, ids, mask, max_new, gamma=gamma, eos_token_id=5
+        )
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(s))
+        assert float(mpc) >= 1.0  # every call commits at least one token
+
+    def test_eos_truncation_identity(self, tiny, rng):
+        """Force eos to be a likely token so early-stop paths are hit."""
+        cfg, params = tiny
+        b, t, max_new = 4, 16, 12
+        ids, mask = _prompts(rng, cfg, b, t)
+        # pick eos = the most common greedy token so lanes finish early
+        g_probe = np.asarray(
+            greedy_generate(params, cfg, ids, mask, max_new, eos_token_id=-1)
+        )
+        eos = int(np.bincount(g_probe.ravel()).argmax())
+        g = greedy_generate(params, cfg, ids, mask, max_new, eos_token_id=eos)
+        s, _ = ngram_speculative_generate(
+            params, cfg, ids, mask, max_new, gamma=4, eos_token_id=eos
+        )
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(s))
+
+    def test_single_token(self, tiny, rng):
+        cfg, params = tiny
+        ids, mask = _prompts(rng, cfg, 2, 10)
+        g = greedy_generate(params, cfg, ids, mask, 1, eos_token_id=5)
+        s, _ = ngram_speculative_generate(
+            params, cfg, ids, mask, 1, gamma=4, eos_token_id=5
+        )
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(s))
+
+    def test_component_spec_flag_matches_greedy(self, rng, tmp_path):
+        from rag_inference_pipeline_tpu.core.config import Settings
+        from rag_inference_pipeline_tpu.models.components import LLMComponent
+
+        base = dict(
+            llm_model="tiny", allow_random_weights=True, max_tokens=12,
+            shape_buckets=(2,), prefill_bucket_list=(32,),
+        )
+        c_greedy = LLMComponent(Settings(**base))
+        c_greedy.load()
+        c_spec = LLMComponent(
+            Settings(**base, use_speculative_decoding=True, speculative_gamma=4)
+        )
+        c_spec.load()
+        queries = ["what is jax?", "tell me about tpus"]
+        docs = [[{"content": "jax is an array library"}],
+                [{"content": "tpus multiply matrices"}]]
+        out_g = c_greedy.generate_batch(queries, docs)
+        out_s = c_spec.generate_batch(queries, docs)
+        assert out_g == out_s
