@@ -55,6 +55,11 @@ class Settings(BaseModel):
     mesh_dp: int = 0  # 0 = infer from device count / tp
     mesh_tp: int = 1
     device_platform: Optional[str] = None  # None = jax default
+    # --- multi-host (DCN) process group (core/distributed.py; replaces the
+    # reference's NODE_{0,1,2}_IP static topology, config/__init__.py:81-97)
+    dist_num_processes: int = 1  # >1 turns on jax.distributed
+    dist_process_id: int = 0
+    dist_coordinator: str = "127.0.0.1:12355"  # host:port of process 0
     param_dtype: str = "bfloat16"
 
     # --- batching (reference :265-314) ---

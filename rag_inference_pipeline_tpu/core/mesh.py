@@ -77,7 +77,12 @@ def make_mesh(
     tp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> MeshContext:
-    """Build a dp x tp mesh. dp=0 infers dp from available devices / tp."""
+    """Build a dp x tp mesh. dp=0 infers dp from available devices / tp.
+
+    Multi-host: jax.devices() is global after jax.distributed.initialize
+    (core/distributed.py) and is process-major, so reshaping to (dp, tp)
+    keeps each tp group inside one host's ICI domain while dp crosses hosts
+    over DCN — the intended axis split (SURVEY.md section 2.6)."""
     devs = list(devices if devices is not None else jax.devices())
     if tp <= 0:
         tp = 1
@@ -88,11 +93,18 @@ def make_mesh(
         raise ValueError(
             f"mesh dp={dp} x tp={tp} needs {need} devices, have {len(devs)}"
         )
+    if jax.process_count() > 1:
+        from .distributed import validate_mesh_for_hosts
+
+        validate_mesh_for_hosts(dp, tp)
     grid = np.array(devs[:need]).reshape(dp, tp)
     return MeshContext(mesh=Mesh(grid, (DP_AXIS, TP_AXIS)))
 
 
 def mesh_from_settings(settings) -> MeshContext:
+    from .distributed import init_distributed
+
+    init_distributed(settings)
     devices = None
     if settings.device_platform:
         devices = jax.devices(settings.device_platform)
