@@ -71,20 +71,33 @@ class FusedExecutor:
             )
             self.doc_token_mask = (self.doc_tokens > 0).astype(np.int32)
         inner = getattr(self.index, "index", self.index)
-        if inner.kind != "flat" or getattr(inner, "_db", None) is None:
-            raise ValueError(
-                "fused pipeline requires a float flat index (raw vectors)"
-            )
+        if inner.kind != "flat":
+            raise ValueError("fused pipeline requires a flat index")
         n = inner.ntotal
         if self.doc_tokens.shape[0] < n:
             raise ValueError(
                 f"doc token store has {self.doc_tokens.shape[0]} rows, "
                 f"index has {n}"
             )
-        self._db_host = np.asarray(inner._db[:n], np.float32)
+        # raw vectors: bf16/f32 store, or the int8 index's bf16 rescore copy
+        # (falling back to dequantized codes when rescore is off) — the fused
+        # step re-quantizes with ONE global scale so every dp shard agrees
+        self._index_dtype = (
+            "int8" if getattr(inner, "dtype_name", "") == "int8" else "bfloat16"
+        )
+        if getattr(inner, "_db", None) is not None:
+            self._db_host = np.asarray(inner._db[:n], np.float32)
+        elif self._index_dtype == "int8" and inner._db_i8 is not None:
+            self._db_host = np.asarray(
+                inner._db_i8[:n].astype(np.float32)
+                * np.asarray(inner._db_scales[:n])[:, None],
+                np.float32,
+            )
+        else:
+            raise ValueError("fused pipeline: index holds no vectors")
         logger.info(
-            "fused pipeline ready: %d docs, %d ctx tokens/doc",
-            n, self.doc_tokens.shape[1],
+            "fused pipeline ready: %d docs, %d ctx tokens/doc, %s scan",
+            n, self.doc_tokens.shape[1], self._index_dtype,
         )
 
     def unload(self) -> None:
@@ -103,7 +116,9 @@ class FusedExecutor:
                 ctx_docs=s.llm_context_docs,
                 doc_tok_len=self.doc_tokens.shape[1],
                 max_new_tokens=s.max_tokens,
-                use_fused_topk=False,  # exact scan inside the fused step
+                use_fused_topk=False,  # exact scan for the bf16 path
+                index_dtype=getattr(self, "_index_dtype", "bfloat16"),
+                rescore_k=max(s.retrieval_k, 64),
             )
             pipe.build(
                 self.embedder.params, self.llm.params,

@@ -633,3 +633,57 @@ def sharded_topk(
         check_rep=False,
     )
     return fn(queries, db_sharded)
+
+
+def sharded_topk_int8gs(
+    ctx: MeshContext,
+    queries: jax.Array,  # [B, D] float (replicated)
+    db_i8_sharded: jax.Array,  # [N_pad, D] int8, rows over dp
+    db_scale: jax.Array,  # scalar f32 (global quantization scale)
+    k: int,
+    *,
+    rescore_db_sharded: Optional[jax.Array] = None,  # [N_pad, D] bf16, dp rows
+    rescore_k: int = 0,
+    nbins: int = 1024,
+    chunk: int = 8192,
+    ntotal: Optional[int] = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """dp-sharded global-scale int8 scan + per-shard bf16 rescore + all-gather
+    merge — the sharded twin of fused_topk_int8gs (the headline index config,
+    now usable inside the fused device pipeline; VERDICT round-1 item #8)."""
+    n_rows = db_i8_sharded.shape[0]
+    n_real = ntotal if ntotal is not None else n_rows
+    dp = ctx.dp
+    shard_rows = n_rows // dp
+
+    use_rescore = rescore_db_sharded is not None
+    if not use_rescore:
+        rescore_db_sharded = db_i8_sharded  # placeholder operand, unused
+
+    def local(q, db_i8_local, rdb_local):
+        s, i = fused_topk_int8gs(
+            q, db_i8_local, db_scale, k,
+            nbins=nbins, chunk=chunk, interpret=interpret,
+            rescore_db=rdb_local if use_rescore else None,
+            rescore_k=rescore_k if use_rescore else 0,
+        )
+        shard = jax.lax.axis_index(DP_AXIS)
+        valid = i >= 0  # empty bins / masked candidates stay -1
+        gid = i + shard * shard_rows
+        keep = valid & (gid < n_real)  # also drops even-sharding pad rows
+        s = jnp.where(keep, s, NEG_INF)
+        gid = jnp.where(keep, gid, -1)
+        s_all = jax.lax.all_gather(s, DP_AXIS, axis=1, tiled=True)
+        i_all = jax.lax.all_gather(gid, DP_AXIS, axis=1, tiled=True)
+        ms, sel = jax.lax.top_k(s_all, k)
+        return ms, jnp.take_along_axis(i_all, sel, axis=1)
+
+    fn = shard_map(
+        local,
+        mesh=ctx.mesh,
+        in_specs=(P(), P(DP_AXIS), P(DP_AXIS)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return fn(queries, db_i8_sharded, rescore_db_sharded)

@@ -67,6 +67,89 @@ class TestDevicePipeline:
         np.testing.assert_allclose(ref, out, atol=2e-4)
 
 
+class TestFusedInt8AndShardedTokens:
+    def _build(self, rng, ctx, **pipe_kw):
+        bert_cfg, qwen_cfg = BertConfig.tiny(), QwenConfig.tiny()
+        n, d = 256, bert_cfg.hidden
+        db = rng.standard_normal((n, d)).astype(np.float32)
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        doc_tokens = rng.integers(1, 400, (n, 8)).astype(np.int32)
+        pipe = DeviceRAGPipeline(
+            mesh=ctx, bert_cfg=bert_cfg, qwen_cfg=qwen_cfg,
+            k=5, ctx_docs=2, doc_tok_len=8, max_new_tokens=3, **pipe_kw,
+        )
+        pipe.build(
+            init_bert_params(jax.random.key(1), bert_cfg),
+            init_qwen_params(jax.random.key(2), qwen_cfg),
+            db, doc_tokens,
+        )
+        return pipe, db, doc_tokens
+
+    def test_int8_scan_matches_bf16_retrieval(self, rng):
+        """int8+rescore fused step retrieves the same ids and generates the
+        same tokens as the bf16 scan (rescore recovers quantization)."""
+        ctx = make_mesh(dp=4, tp=2)
+        pipe16, db, _ = self._build(rng, ctx)
+        rng2 = np.random.default_rng(0)
+        pipe8, _, _ = self._build(
+            rng2, ctx, index_dtype="int8", rescore_k=32
+        )
+        q = rng.integers(1, 400, (8, 8)).astype(np.int32)
+        out16 = pipe16.step(q, np.ones_like(q))
+        out8 = pipe8.step(q, np.ones_like(q))
+        ids16 = np.asarray(out16.doc_ids)
+        ids8 = np.asarray(out8.doc_ids)
+        overlap = np.mean(
+            [len(set(ids16[i]) & set(ids8[i])) / 5 for i in range(8)]
+        )
+        assert overlap >= 0.95, overlap
+        # decode consumes the same top ctx_docs -> identical tokens when the
+        # top-2 ids agree
+        agree = (ids16[:, :2] == ids8[:, :2]).all(axis=1)
+        np.testing.assert_array_equal(
+            np.asarray(out16.tokens)[agree], np.asarray(out8.tokens)[agree]
+        )
+
+    def test_sharded_token_store_matches_replicated(self, rng):
+        ctx = make_mesh(dp=4, tp=2)
+        pipe_rep, db, toks = self._build(rng, ctx, shard_doc_tokens=False)
+        rng2 = np.random.default_rng(0)
+        pipe_sh, _, _ = self._build(rng2, ctx, shard_doc_tokens=True)
+        assert pipe_sh._tokens_sharded and not pipe_rep._tokens_sharded
+        q = rng.integers(1, 400, (8, 8)).astype(np.int32)
+        out_r = pipe_rep.step(q, np.ones_like(q))
+        out_s = pipe_sh.step(q, np.ones_like(q))
+        np.testing.assert_array_equal(
+            np.asarray(out_r.doc_ids), np.asarray(out_s.doc_ids)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_r.tokens), np.asarray(out_s.tokens)
+        )
+
+    def test_sharded_token_gather_unit(self, rng):
+        from rag_inference_pipeline_tpu.engine.device_pipeline import (
+            sharded_token_gather,
+        )
+        import jax.numpy as jnp
+
+        ctx = make_mesh(dp=8, tp=1)
+        n, L = 64, 4
+        toks = rng.integers(1, 100, (n, L)).astype(np.int32)
+        mask = rng.integers(0, 2, (n, L)).astype(np.int32)
+        ids = np.array([[0, 17, 63], [8, -1, 31]], np.int32)
+        tok_d = ctx.put(jnp.asarray(toks), ctx.rows_dp)
+        msk_d = ctx.put(jnp.asarray(mask), ctx.rows_dp)
+        g, m = sharded_token_gather(ctx, tok_d, msk_d, jnp.asarray(ids))
+        g, m = np.asarray(g), np.asarray(m)
+        for b in range(2):
+            for c in range(3):
+                if ids[b, c] < 0:
+                    assert (m[b, c] == 0).all()
+                else:
+                    np.testing.assert_array_equal(g[b, c], toks[ids[b, c]])
+                    np.testing.assert_array_equal(m[b, c], mask[ids[b, c]])
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import sys
