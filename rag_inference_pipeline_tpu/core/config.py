@@ -156,6 +156,9 @@ class Settings(BaseModel):
     use_continuous_batching: bool = False  # persistent-lane decode engine
     decode_segment_steps: int = 8
     decode_max_concurrency: int = 32  # continuous-batching lanes
+    # dispatch segment N+1 before fetching segment N's done flags — hides
+    # the host round-trip behind device work (engine/decode_engine.py)
+    decode_pipeline_segments: bool = True
     prefill_buckets: str = "128,256,512"
     kv_cache_max_len: int = 1024
 

@@ -144,7 +144,17 @@ class DecodeEngine:
         eos_token_id: int = 2,
         admit_buckets: tuple[int, ...] = (1, 2, 4, 8),
         prefill_buckets: tuple[int, ...] = (64, 128, 256),
+        pipeline_segments: bool = True,
     ) -> None:
+        # pipeline_segments: dispatch segment N+1 before the host has seen
+        # segment N's `done` flags (the fetch rides alongside the next
+        # segment's execution). Completion detection lags one segment —
+        # the device never idles on the host round-trip, which is the RTT
+        # tax that lost the round-1 A/B through the tunnel (PERF_NOTES.md
+        # "Continuous-batching engine"). Correctness is unaffected: a
+        # done lane emits eos, collects are n-clipped, and freed lanes are
+        # only re-admitted after their completion is processed.
+        self.pipeline_segments = pipeline_segments
         self.params = params
         self.cfg = cfg
         self.lanes = lanes
@@ -203,10 +213,18 @@ class DecodeEngine:
 
     # -- engine loop -------------------------------------------------------
     async def _run(self) -> None:
+        loop = asyncio.get_running_loop()
+        pending = None  # (done_dev, [(lane, req)]) of the last segment
         while not self._stopped:
             try:
                 self._admit_waiting()
                 if self.active_lanes == 0:
+                    if pending is not None:
+                        await loop.run_in_executor(
+                            None, self._process_done, *pending
+                        )
+                        pending = None
+                        continue
                     if self._waiting.empty():
                         self._wake.clear()
                         try:
@@ -215,9 +233,16 @@ class DecodeEngine:
                             pass
                         continue
                     continue
-                await asyncio.get_running_loop().run_in_executor(
-                    None, self._decode_segment_sync
-                )
+                nxt = self._dispatch_segment()
+                if self.pipeline_segments:
+                    # segment N+1 executes while N's done flags transfer
+                    if pending is not None:
+                        await loop.run_in_executor(
+                            None, self._process_done, *pending
+                        )
+                    pending = nxt
+                else:
+                    await loop.run_in_executor(None, self._process_done, *nxt)
             except Exception as exc:  # noqa: BLE001 — a bad batch must not
                 # take the loop (and every future submit) down with it
                 logger.exception("decode engine iteration failed")
@@ -226,7 +251,10 @@ class DecodeEngine:
                         r.future.set_exception(exc)
                     self._lane_req[lane] = None
                 self.done = jnp.ones((self.lanes,), bool)
+                pending = None
         # drain on stop: resolve in-flight lanes with what they produced
+        if pending is not None:
+            self._process_done(*pending)
         for lane, r in enumerate(self._lane_req):
             if r is not None and not r.future.done():
                 r.future.set_result(self._collect(lane, r))
@@ -284,7 +312,9 @@ class DecodeEngine:
             self._lane_req[r.lane] = r
         return len(batch)
 
-    def _decode_segment_sync(self) -> None:
+    def _dispatch_segment(self):
+        """Dispatch one decode segment (no host sync) and start the async
+        done-flag fetch. Returns (done_dev, snapshot) for _process_done."""
         offsets = np.zeros((self.lanes,), np.int32)
         for lane, req in enumerate(self._lane_req):
             if req is not None:
@@ -294,11 +324,25 @@ class DecodeEngine:
             jnp.asarray(offsets),
             cfg=self.cfg, steps=self.segment_steps, eos=self.eos,
         )
-        done_np = np.asarray(self.done)  # the only per-segment host fetch
+        snapshot = []
         for lane, req in enumerate(self._lane_req):
-            if req is None:
-                continue
-            req.written += self.segment_steps
+            if req is not None:
+                req.written += self.segment_steps
+                snapshot.append((lane, req))
+        done_dev = self.done
+        try:
+            done_dev.copy_to_host_async()
+        except Exception:  # noqa: BLE001 — hint only; asarray still works
+            pass
+        return done_dev, snapshot
+
+    def _process_done(self, done_dev, snapshot) -> None:
+        """Resolve completions for a previously dispatched segment. With
+        pipeline_segments this runs one segment behind the device."""
+        done_np = np.asarray(done_dev)  # the only per-segment host fetch
+        for lane, req in snapshot:
+            if self._lane_req[lane] is not req:
+                continue  # already resolved (error path / stop drain)
             finished = done_np[lane] or req.written >= req.max_new_tokens
             if finished:
                 toks = self._collect(lane, req)

@@ -445,6 +445,7 @@ class LLMComponent:
             eos_token_id=self.tokenizer.eos_id,
             admit_buckets=s.shape_buckets,
             prefill_buckets=s.prefill_bucket_list,
+            pipeline_segments=s.decode_pipeline_segments,
         )
         await self.engine.start()
 

@@ -144,3 +144,73 @@ class TestEngineEdgeCases:
             return out
 
         assert run(main()) == solo_greedy(prompt, 28)
+
+
+class TestEngineStress:
+    """Concurrency stress (VERDICT round-1 test-depth item): many more
+    requests than lanes, random submit timing racing segment boundaries,
+    mixed lengths, both pipelined and synchronous dispatch — every result
+    must still be token-identical to solo decode."""
+
+    @pytest.mark.parametrize("pipelined", [True, False])
+    def test_storm_of_submits_matches_solo(self, rng, pipelined):
+        eng = DecodeEngine(
+            PARAMS, CFG, lanes=3, cache_len=64, segment_steps=4,
+            eos_token_id=EOS, admit_buckets=(1, 2), prefill_buckets=(8, 16),
+            pipeline_segments=pipelined,
+        )
+        n_req = 17
+        prompts = [
+            rng.integers(1, CFG.vocab_size - 1, int(rng.integers(4, 14)))
+            .astype(np.int32)
+            for _ in range(n_req)
+        ]
+        max_news = [int(rng.integers(1, 12)) for _ in range(n_req)]
+
+        async def main():
+            await eng.start()
+            try:
+                async def delayed(i):
+                    await asyncio.sleep(float(rng.random()) * 0.05)
+                    return await eng.submit(prompts[i], max_news[i])
+
+                outs = await asyncio.gather(*[delayed(i) for i in range(n_req)])
+            finally:
+                await eng.stop()
+            return outs
+
+        outs = run(main())
+        for i, out in enumerate(outs):
+            ref = solo_greedy(prompts[i], max_news[i])
+            assert out == ref[: len(out)] and len(out) >= min(
+                len(ref), max_news[i]
+            ) - 0, (i, out, ref)
+            assert out == ref, (i, out, ref)
+
+    def test_pipelined_lagged_completion_still_exact(self, rng):
+        """Pipelined dispatch runs one segment behind: results must not
+        include overrun tokens past max_new or eos."""
+        eng = DecodeEngine(
+            PARAMS, CFG, lanes=2, cache_len=48, segment_steps=8,
+            eos_token_id=EOS, admit_buckets=(1, 2), prefill_buckets=(8,),
+            pipeline_segments=True,
+        )
+        prompts = [
+            rng.integers(1, CFG.vocab_size - 1, 6).astype(np.int32)
+            for _ in range(4)
+        ]
+
+        async def main():
+            await eng.start()
+            try:
+                return await asyncio.gather(
+                    *[eng.submit(p, 5) for p in prompts]
+                )
+            finally:
+                await eng.stop()
+
+        outs = run(main())
+        for p, out in zip(prompts, outs):
+            assert len(out) <= 5
+            assert out == solo_greedy(p, 5)[: len(out)]
+            assert out == solo_greedy(p, 5)
