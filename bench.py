@@ -76,14 +76,24 @@ def main() -> None:
         db_i8, db_scale = quantize_global_int8(db.astype(jnp.float32))
         jax.block_until_ready((db_i8, db_scale))
 
-        # global-scale int8 scan (int32-domain compares, round-2 kernel) +
-        # exact bf16 re-score of the top-64 candidates: recovers the
-        # quantization recall gap for free
+        # chunk-align at "build" (as FlatIndex does): an unaligned array
+        # forces a whole-corpus jnp.pad copy inside every jitted search
+        # (+2.2 ms/call at 1M — PERF_NOTES round-2 kernel findings)
+        n_pad = ((n + chunk - 1) // chunk) * chunk
+        db_re = db
+        if n_pad != n:
+            db_i8 = jnp.pad(db_i8, ((0, n_pad - n), (0, 0)))
+            db_re = jnp.pad(db, ((0, n_pad - n), (0, 0)))
+        jax.block_until_ready(db_i8)
+
+        # global-scale int8 scan (bf16-upcast MXU matmul — bit-exact int
+        # scores, measured fastest on v5e; ablate4) + exact bf16 re-score
+        # of the top-64 candidates: recovers the quantization recall gap
         def search(q):
             return fused_topk_int8gs(
                 q.astype(jnp.float32), db_i8, db_scale, k,
                 nbins=args.nbins, chunk=chunk, interpret=interpret,
-                rescore_db=db, rescore_k=64,
+                rescore_db=db_re, rescore_k=64, ntotal=n, mm_bf16=True,
             )
     else:
         chunk = 2048

@@ -90,7 +90,7 @@ class FusedExecutor:
         elif self._index_dtype == "int8" and inner._db_i8 is not None:
             self._db_host = np.asarray(
                 inner._db_i8[:n].astype(np.float32)
-                * np.asarray(inner._db_scales[:n])[:, None],
+                * float(inner._db_gscale),
                 np.float32,
             )
         else:

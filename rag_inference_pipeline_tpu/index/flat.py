@@ -18,11 +18,15 @@ from ..core.mesh import MeshContext
 from ..ops.topk import (
     exact_topk,
     fused_topk,
-    fused_topk_int8,
-    quantize_rows_int8,
+    fused_topk_int8gs,
+    quantize_global_int8,
     sharded_topk,
 )
 from .base import BaseIndex, save_npz, storage_dtype
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
 class FlatIndex(BaseIndex):
@@ -51,10 +55,13 @@ class FlatIndex(BaseIndex):
         if use_fused is None:
             use_fused = jax.default_backend() not in ("cpu",)
         self.use_fused = use_fused
+        # int8 scan chunk (rows per grid step); arrays are padded to a
+        # multiple of this at build so no per-call pad copy exists
+        self._chunk_i8 = min(chunk * 2, 8192)
         self._db: Optional[jax.Array] = None
         self._db_sq: Optional[jax.Array] = None
         self._db_i8: Optional[jax.Array] = None  # SQ8 storage mode
-        self._db_scales: Optional[jax.Array] = None
+        self._db_gscale: Optional[jax.Array] = None  # scalar f32
 
     # -- build ------------------------------------------------------------
     def add(self, vectors: np.ndarray) -> None:
@@ -63,10 +70,13 @@ class FlatIndex(BaseIndex):
         if v.ndim != 2 or v.shape[1] != self.dim:
             raise ValueError(f"vectors must be [N, {self.dim}], got {v.shape}")
         if self.dtype_name == "int8":
-            # SQ8 mode: int8 codes + per-row scales carry the scan (half the
-            # bandwidth of bf16); with rescore_k > 0 a bf16 copy is kept for
-            # exact re-scoring of the shortlist (0.975 -> 0.993 recall@10
-            # measured at 1M, no QPS cost — PERF_NOTES.md)
+            # SQ8 mode: GLOBAL-scale int8 codes carry the scan (int32-domain
+            # compares in the kernel — no per-row dequant on the hot path);
+            # with rescore_k > 0 a bf16 copy is kept for exact re-scoring of
+            # the shortlist. Arrays are padded to a search-chunk multiple at
+            # BUILD time: an unaligned array forces a jnp.pad copy of the
+            # whole corpus inside every jitted search (+2.2 ms/call at 1M —
+            # PERF_NOTES.md round-2 kernel findings).
             new = jnp.asarray(v, jnp.float32)
             if self._db_i8 is not None:
                 if self._db is not None:
@@ -75,16 +85,23 @@ class FlatIndex(BaseIndex):
                     prev = self._db[: self.ntotal].astype(jnp.float32)
                 else:
                     prev = (
-                        self._db_i8.astype(jnp.float32)
-                        * self._db_scales[:, None]
-                    )[: self.ntotal]
+                        self._db_i8[: self.ntotal].astype(jnp.float32)
+                        * self._db_gscale
+                    )
                 new = jnp.concatenate([prev, new])
-            self._db_i8, self._db_scales = quantize_rows_int8(new)
-            self._db_i8 = jax.device_put(self._db_i8)
-            self._db_scales = jax.device_put(self._db_scales)
+            n = new.shape[0]
+            # quantize BEFORE padding (pad rows would skew the percentile
+            # scale on small corpora), then pad codes + rescore copy
+            db_i8, gscale = quantize_global_int8(new)
+            n_pad = _round_up(n, self._chunk_i8)
+            if n_pad != n:
+                db_i8 = jnp.pad(db_i8, ((0, n_pad - n), (0, 0)))
+                new = jnp.pad(new, ((0, n_pad - n), (0, 0)))
+            self._db_i8 = jax.device_put(db_i8)
+            self._db_gscale = jax.device_put(gscale)
             if self.rescore_k > 0:
                 self._db = jax.device_put(new.astype(jnp.bfloat16))
-            self.ntotal = new.shape[0]
+            self.ntotal = n
             self._loaded = True
             return
         dt = storage_dtype(self.dtype_name)
@@ -96,11 +113,11 @@ class FlatIndex(BaseIndex):
         self._set_db(db)
 
     def _set_db(self, db: jax.Array) -> None:
+        n = db.shape[0]
         if self.mesh is not None and self.mesh.dp > 1:
             # pad rows to a dp multiple for even sharding; padding rows are
             # masked out by NEG_INF in the sharded kernels via ntotal
             dp = self.mesh.dp
-            n = db.shape[0]
             n_pad = ((n + dp - 1) // dp) * dp
             if n_pad != n:
                 db = jnp.concatenate(
@@ -109,8 +126,16 @@ class FlatIndex(BaseIndex):
             self._db = self.mesh.put(db, self.mesh.rows_dp)
             self.ntotal = n
         else:
+            if self.use_fused and self.metric == "ip":
+                # chunk-align at build so the jitted fused search never pays
+                # a whole-array jnp.pad copy per call (PERF_NOTES round 2)
+                n_pad = _round_up(n, self.chunk)
+                if n_pad != n:
+                    db = jnp.concatenate(
+                        [db, jnp.zeros((n_pad - n, self.dim), db.dtype)]
+                    )
             self._db = jax.device_put(db)
-            self.ntotal = db.shape[0]
+            self.ntotal = n
         if self.metric == "l2":
             dbf = self._db.astype(jnp.float32)
             self._db_sq = jnp.sum(dbf * dbf, axis=-1)
@@ -123,12 +148,17 @@ class FlatIndex(BaseIndex):
         q = self.validate_queries(queries)
         if self.dtype_name == "int8":
             interpret = jax.default_backend() == "cpu"
-            return fused_topk_int8(
-                q, self._db_i8, self._db_scales, k,
-                nbins=self.nbins, chunk=min(self.chunk * 2, 8192),
+            return fused_topk_int8gs(
+                q, self._db_i8, self._db_gscale, k,
+                nbins=self.nbins, chunk=self._chunk_i8,
                 interpret=interpret,
                 rescore_db=self._db if self.rescore_k > 0 else None,
                 rescore_k=self.rescore_k,
+                ntotal=self.ntotal,
+                # bf16-upcast MXU matmul: bit-exact int scores (see kernel
+                # docstring) and measured ~6% faster than the integer dot
+                # on v5e (1.865 vs 1.989 ms/batch-128 at 1M — ablate4)
+                mm_bf16=True,
             )
         if self.mesh is not None and self.mesh.dp > 1:
             return sharded_topk(
@@ -145,9 +175,13 @@ class FlatIndex(BaseIndex):
                 ntotal=self.ntotal,  # masks the even-sharding pad rows
             )
         if self.use_fused and self.metric == "ip" and k <= self.nbins:
-            return fused_topk(q, self._db, k, nbins=self.nbins, chunk=self.chunk)
+            return fused_topk(
+                q, self._db, k, nbins=self.nbins, chunk=self.chunk,
+                ntotal=self.ntotal,
+            )
         return exact_topk(
-            q, self._db, k, metric=self.metric, db_sq_norms=self._db_sq
+            q, self._db, k, metric=self.metric, db_sq_norms=self._db_sq,
+            ntotal=self.ntotal,
         )
 
     def reconstruct(self, ids) -> jax.Array:
@@ -156,7 +190,7 @@ class FlatIndex(BaseIndex):
         if self.dtype_name == "int8" and self._db is None:
             return (
                 jnp.take(self._db_i8, ids, axis=0).astype(jnp.float32)
-                * jnp.take(self._db_scales, ids)[..., None]
+                * self._db_gscale
             )
         return jnp.take(self._db, ids, axis=0)
 
@@ -178,7 +212,7 @@ class FlatIndex(BaseIndex):
                 dtype=self.dtype_name,
                 rescore_k=self.rescore_k,
                 vectors_i8=np.asarray(self._db_i8[: self.ntotal]),
-                scales=np.asarray(self._db_scales[: self.ntotal], np.float32),
+                gscale=np.float32(self._db_gscale),
                 **extra,
             )
             return
@@ -202,17 +236,34 @@ class FlatIndex(BaseIndex):
                 dtype=str(z["dtype"]),
                 mesh=mesh,
             )
-            if "vectors_i8" in z:
-                idx._db_i8 = jax.device_put(jnp.asarray(z["vectors_i8"]))
-                idx._db_scales = jax.device_put(jnp.asarray(z["scales"]))
-                idx.rescore_k = int(z["rescore_k"]) if "rescore_k" in z else 0
+            if "vectors_i8" in z and "scales" in z:
+                # legacy per-row-scale save: dequantize and re-add through
+                # the global-scale build path
+                vecs = (
+                    z["vectors_i8"].astype(np.float32)
+                    * z["scales"][:, None]
+                )
                 if "vectors_rescore" in z:
-                    idx._db = jax.device_put(
-                        jnp.asarray(z["vectors_rescore"], jnp.bfloat16)
-                    )
+                    vecs = z["vectors_rescore"].astype(np.float32)
+                idx.rescore_k = int(z["rescore_k"]) if "rescore_k" in z else 0
+                idx.add(vecs)
+            elif "vectors_i8" in z:
+                idx.rescore_k = int(z["rescore_k"]) if "rescore_k" in z else 0
+                n = z["vectors_i8"].shape[0]
+                n_pad = _round_up(n, idx._chunk_i8)
+                codes = np.zeros((n_pad, idx.dim), np.int8)
+                codes[:n] = z["vectors_i8"]
+                idx._db_i8 = jax.device_put(jnp.asarray(codes))
+                idx._db_gscale = jax.device_put(
+                    jnp.asarray(z["gscale"], jnp.float32)
+                )
+                if "vectors_rescore" in z:
+                    re = np.zeros((n_pad, idx.dim), np.float16)
+                    re[:n] = z["vectors_rescore"]
+                    idx._db = jax.device_put(jnp.asarray(re, jnp.bfloat16))
                 else:
                     idx.rescore_k = 0
-                idx.ntotal = idx._db_i8.shape[0]
+                idx.ntotal = n
                 idx._loaded = True
             else:
                 idx.add(z["vectors"])
@@ -222,6 +273,6 @@ class FlatIndex(BaseIndex):
         self._db = None
         self._db_sq = None
         self._db_i8 = None
-        self._db_scales = None
+        self._db_gscale = None
         self._loaded = False
         self.ntotal = 0

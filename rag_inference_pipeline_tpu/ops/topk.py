@@ -48,7 +48,9 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk", "metric"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "chunk", "metric", "ntotal")
+)
 def exact_topk(
     queries: jax.Array,
     db: jax.Array,
@@ -57,6 +59,7 @@ def exact_topk(
     chunk: int = 131072,
     metric: str = "ip",
     db_sq_norms: Optional[jax.Array] = None,
+    ntotal: Optional[int] = None,  # true rows when db carries pad rows
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k by score. Returns (scores [B,k] f32, indices [B,k] i32).
 
@@ -64,8 +67,9 @@ def exact_topk(
     min L2 distance; scores returned are that surrogate).
     """
     n, d = db.shape
+    n_true = min(ntotal or n, n)
     b = queries.shape[0]
-    k = min(k, n)
+    k = min(k, n_true)
     chunk = max(min(chunk, n), k)  # lax.top_k over a chunk needs chunk >= k
     n_chunks = (n + chunk - 1) // chunk
     n_pad = n_chunks * chunk
@@ -90,7 +94,7 @@ def exact_topk(
             s = 2.0 * s - norms[None, :]
         # mask padded tail rows of the final chunk
         gids = i * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        s = jnp.where(gids < n, s, NEG_INF)
+        s = jnp.where(gids < n_true, s, NEG_INF)
         cs, ci = jax.lax.top_k(s, k)
         cand_s = jnp.concatenate([best_s, cs], axis=1)
         cand_i = jnp.concatenate([best_i, (gids[0][ci]).astype(jnp.int32)], axis=1)
@@ -158,6 +162,7 @@ def binmax_partial_topk(
     nbins: int = 512,
     chunk: int = 4096,
     interpret: bool = False,
+    ntotal: Optional[int] = None,  # true rows when db is chunk-padded
 ) -> tuple[jax.Array, jax.Array]:
     """Partial top-k: per-query (score, index) of the best row in each of
     `nbins` column-residue bins. Exact scores; approximate as a top-k set
@@ -177,7 +182,7 @@ def binmax_partial_topk(
         db = jnp.pad(db, ((0, n_pad - n), (0, 0)))
     q = queries.astype(db.dtype)
     n_chunks = n_pad // chunk
-    nrows = jnp.array([[n]], dtype=jnp.int32)
+    nrows = jnp.array([[min(ntotal or n, n)]], dtype=jnp.int32)
 
     kern = functools.partial(_binmax_kernel, nbins=nbins, chunk=chunk)
     vals, idxs = pl.pallas_call(
@@ -211,7 +216,7 @@ def binmax_partial_topk(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "nbins", "chunk", "interpret")
+    jax.jit, static_argnames=("k", "nbins", "chunk", "interpret", "ntotal")
 )
 def fused_topk(
     queries: jax.Array,
@@ -221,6 +226,7 @@ def fused_topk(
     nbins: int = 512,
     chunk: int = 4096,
     interpret: bool = False,
+    ntotal: Optional[int] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused flat-IP search: Pallas bin-max scan + exact top-k over survivors.
 
@@ -235,7 +241,8 @@ def fused_topk(
             "it — raise nbins or use exact_topk"
         )
     vals, idxs = binmax_partial_topk(
-        queries, db, nbins=nbins, chunk=chunk, interpret=interpret
+        queries, db, nbins=nbins, chunk=chunk, interpret=interpret,
+        ntotal=ntotal,
     )
     s, sel = jax.lax.top_k(vals, min(k, vals.shape[1]))
     return s, jnp.take_along_axis(idxs, sel, axis=1)
@@ -420,13 +427,20 @@ def quantize_global_int8(
 
 
 def _binmax_kernel_int8gs(
-    q_ref, db_ref, nrows_ref, vals_ref, steps_ref, *, nbins, chunk, nsteps
+    q_ref, db_ref, nrows_ref, vals_ref, steps_ref, *, nbins, chunk, nsteps,
+    mm_bf16=False,
 ):
     """Global-scale int8 grid step. Accumulators live in the int32 domain:
     vals [B, nbins] i32 running bin max, steps [B, nbins] i32 running
     sub-block id of that max (row = step * nbins + bin_column). Only the
     final grid step pays the padded-tail mask; every other step is
-    matmul + compare + two selects per sub-block."""
+    matmul + compare + two selects per sub-block.
+
+    mm_bf16: upcast the int8 operands to bf16 and matmul at the bf16 MXU
+    rate instead of the integer dot path. BIT-EXACT for int8 data: |x|<=127
+    is exact in bf16 (8 significant bits), products <=127^2 are exact in the
+    f32 MXU accumulator, and |sum| <= 768*127^2 = 12.4M < 2^24, so the f32
+    result is the exact integer score and the final i32 cast is lossless."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -438,9 +452,18 @@ def _binmax_kernel_int8gs(
     sub = chunk // nbins
 
     def scores(j):
+        blk = db_ref[j * nbins : (j + 1) * nbins, :]
+        if mm_bf16:
+            s = jax.lax.dot_general(
+                q_ref[:].astype(jnp.bfloat16),
+                blk.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return s.astype(jnp.int32)
         return jax.lax.dot_general(
             q_ref[:],
-            db_ref[j * nbins : (j + 1) * nbins, :],
+            blk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
@@ -474,9 +497,16 @@ def binmax_partial_topk_int8gs(
     nbins: int = 1024,
     chunk: int = 8192,
     interpret: bool = False,
+    ntotal: Optional[int] = None,
+    mm_bf16: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Global-scale int8 partial top-k. Returns (vals [B,nbins] i32 raw
-    int-domain scores, idxs [B,nbins] i32 global row ids, -1 = empty bin)."""
+    int-domain scores, idxs [B,nbins] i32 global row ids, -1 = empty bin).
+
+    PERF: pre-pad the DB to a `chunk` multiple at BUILD time and pass
+    `ntotal` = true row count. An unaligned DB forces a jnp.pad inside the
+    jitted program, which copies the ENTIRE array every call — measured
+    +2.2 ms/call at 1M x 768 int8, more than the 1.85 ms scan itself."""
     n, d = db_i8.shape
     b = queries_i8.shape[0]
     if chunk % nbins != 0:
@@ -488,10 +518,11 @@ def binmax_partial_topk_int8gs(
     if n_pad != n:
         db_i8 = jnp.pad(db_i8, ((0, n_pad - n), (0, 0)))
     n_chunks = n_pad // chunk
-    nrows = jnp.array([[n]], dtype=jnp.int32)
+    nrows = jnp.array([[min(ntotal or n, n)]], dtype=jnp.int32)
 
     kern = functools.partial(
-        _binmax_kernel_int8gs, nbins=nbins, chunk=chunk, nsteps=n_chunks
+        _binmax_kernel_int8gs, nbins=nbins, chunk=chunk, nsteps=n_chunks,
+        mm_bf16=mm_bf16,
     )
     vals, steps = pl.pallas_call(
         kern,
@@ -526,7 +557,9 @@ def binmax_partial_topk_int8gs(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "nbins", "chunk", "interpret", "rescore_k"),
+    static_argnames=(
+        "k", "nbins", "chunk", "interpret", "rescore_k", "ntotal", "mm_bf16"
+    ),
 )
 def fused_topk_int8gs(
     queries: jax.Array,  # [B, D] float — quantized internally
@@ -539,15 +572,20 @@ def fused_topk_int8gs(
     interpret: bool = False,
     rescore_db: Optional[jax.Array] = None,  # [N, D] full-precision rows
     rescore_k: int = 0,
+    ntotal: Optional[int] = None,  # true rows when db_i8 is chunk-padded
+    mm_bf16: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Global-scale quantized flat search: int8 scan (int32-domain compare)
     + top-k over the nbins survivors, with optional exact bf16 re-score of
-    the top rescore_k candidates (recovers the quantization recall gap)."""
+    the top rescore_k candidates (recovers the quantization recall gap).
+    Pre-pad db_i8 (and rescore_db) to a chunk multiple and pass ntotal —
+    see binmax_partial_topk_int8gs's PERF note."""
     qf = queries.astype(jnp.float32)
     q_scale = jnp.maximum(jnp.max(jnp.abs(qf)), 1e-9) / 127.0
     q_i8 = jnp.clip(jnp.round(qf / q_scale), -127, 127).astype(jnp.int8)
     vals_i, idxs = binmax_partial_topk_int8gs(
-        q_i8, db_i8, nbins=nbins, chunk=chunk, interpret=interpret
+        q_i8, db_i8, nbins=nbins, chunk=chunk, interpret=interpret,
+        ntotal=ntotal, mm_bf16=mm_bf16,
     )
     vals = jnp.where(
         idxs >= 0,

@@ -38,6 +38,7 @@ def main() -> None:
     p.add_argument("--rerank-len", type=int, default=256)
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--iters", type=int, default=6)
+    p.add_argument("--spec-gamma", type=int, default=8)
     args = p.parse_args()
 
     import jax
@@ -49,14 +50,20 @@ def main() -> None:
     )
     from rag_inference_pipeline_tpu.models.qwen import (
         QwenConfig, greedy_generate, init_qwen_params,
+        ngram_speculative_generate,
     )
-    from rag_inference_pipeline_tpu.ops import fused_topk_int8, quantize_rows_int8
+    from rag_inference_pipeline_tpu.ops import fused_topk_int8gs, quantize_global_int8
 
     b = args.batch
     print(f"setup: corpus {args.corpus}x768 int8, batch {b}", file=sys.stderr)
     db = jax.random.normal(jax.random.key(0), (args.corpus, 768), jnp.bfloat16)
-    db_i8, scales = quantize_rows_int8(db.astype(jnp.float32))
+    db_i8, gscale = quantize_global_int8(db.astype(jnp.float32))
     del db
+    # chunk-align so the jitted search never pays a whole-array pad copy
+    n_true = db_i8.shape[0]
+    n_pad = -(-n_true // 4096) * 4096
+    if n_pad != n_true:
+        db_i8 = jnp.pad(db_i8, ((0, n_pad - n_true), (0, 0)))
 
     emb_cfg = BertConfig.bge_base()
     emb_params = jax.device_put(
@@ -70,13 +77,20 @@ def main() -> None:
     lm_params = jax.device_put(
         init_qwen_params(jax.random.key(3), lm_cfg, jnp.bfloat16)
     )
-    jax.block_until_ready((db_i8, scales))
+    jax.block_until_ready((db_i8, gscale))
 
     embed_fn = jax.jit(partial(bert_embed, cfg=emb_cfg))
     rerank_fn = jax.jit(partial(bert_classify, cfg=rr_cfg))
     gen_fn = jax.jit(
         partial(
             greedy_generate, cfg=lm_cfg, max_new_tokens=args.new_tokens,
+            eos_token_id=-1, cache_len=args.prompt_len + args.new_tokens,
+        )
+    )
+    spec_fn = jax.jit(
+        partial(
+            ngram_speculative_generate, cfg=lm_cfg,
+            max_new_tokens=args.new_tokens, gamma=args.spec_gamma,
             eos_token_id=-1, cache_len=args.prompt_len + args.new_tokens,
         )
     )
@@ -101,7 +115,7 @@ def main() -> None:
 
     def pipeline(inp):
         emb = embed_fn(emb_params, input_ids=inp["q_ids"], attn_mask=ones_q)
-        s, ids = fused_topk_int8(emb, db_i8, scales, args.k, nbins=1024, chunk=4096)
+        s, ids = fused_topk_int8gs(emb, db_i8, gscale, args.k, nbins=1024, chunk=4096, ntotal=n_true)
         logits = rerank_fn(rr_params, input_ids=inp["rr_ids"], attn_mask=ones_rr)
         toks = gen_fn(lm_params, input_ids=inp["lm_ids"], attn_mask=ones_lm)
         return s, ids, logits, toks
@@ -109,12 +123,18 @@ def main() -> None:
     # stage-by-stage timing (pipelined within each stage)
     stages = {
         "embed": lambda inp: embed_fn(emb_params, input_ids=inp["q_ids"], attn_mask=ones_q),
-        "search": lambda inp: fused_topk_int8(
+        "search": lambda inp: fused_topk_int8gs(
             embed_fn(emb_params, input_ids=inp["q_ids"], attn_mask=ones_q),
-            db_i8, scales, args.k, nbins=1024, chunk=4096,
+            db_i8, gscale, args.k, nbins=1024, chunk=4096, ntotal=n_true,
         ),
         "rerank": lambda inp: rerank_fn(rr_params, input_ids=inp["rr_ids"], attn_mask=ones_rr),
         "generate": lambda inp: gen_fn(lm_params, input_ids=inp["lm_ids"], attn_mask=ones_lm),
+        # n-gram speculative decode: acceptance on this random-weight
+        # workload comes from the repeat-last fallback, so treat its gain
+        # as workload-dependent; mean tokens/call printed alongside
+        "generate_spec": lambda inp: spec_fn(
+            lm_params, input_ids=inp["lm_ids"], attn_mask=ones_lm
+        ),
         "e2e": pipeline,
     }
     # full-fetch protocol: np.asarray every output (block_until_ready alone

@@ -188,17 +188,41 @@ def main():
 
     qs8 = [jax.device_put(jnp.asarray(
         rng.integers(-127, 127, (b, d), dtype=np.int8))) for _ in range(16)]
+    # MUST be jitted: an eager pallas_call pays per-call tracing + remote
+    # compile-cache lookups (~3 s/call through the tunnel)
+    c_fn = jax.jit(functools.partial(
+        binmax_partial_topk_int8gs, nbins=1024, chunk=chunk))
     ms = bench_variant(
         "C:  int8/gs binmax (sanity, expect ~4.1)",
-        lambda q: binmax_partial_topk_int8gs(q, d_db8t, nbins=1024, chunk=chunk),
-        qs8, args.rounds, rtt)
+        lambda q: c_fn(q, d_db8t), qs8, args.rounds, rtt)
 
     qs16 = [q.astype(jnp.bfloat16) for q in qs8]
     jax.block_until_ready(qs16)
+    h2_fn = jax.jit(lambda q, db: binmax_bf16mm(q, db, nbins=1024, chunk=chunk))
     ms = bench_variant(
         "H2: int8 DB + bf16-upcast matmul binmax",
-        lambda q: binmax_bf16mm(q, d_db8t, nbins=1024, chunk=chunk),
-        qs16, args.rounds, rtt)
+        lambda q: h2_fn(q, d_db8t), qs16, args.rounds, rtt)
+
+    # H2b: PRODUCTION kernel with mm_bf16=True (bit-exact int scores via
+    # bf16 MXU; includes last-chunk masking) — the flag we'd actually ship
+    h2b_fn = jax.jit(functools.partial(
+        binmax_partial_topk_int8gs, nbins=1024, chunk=chunk, mm_bf16=True))
+    ms = bench_variant(
+        "H2b: production int8gs kernel, mm_bf16=True",
+        lambda q: h2b_fn(q, d_db8t), qs8, args.rounds, rtt)
+
+    # sweep chunk sizes for the winner direction
+    for ch in (4096, 16384):
+        f1 = jax.jit(functools.partial(
+            binmax_partial_topk_int8gs, nbins=1024, chunk=ch))
+        ms = bench_variant(
+            f"C/chunk={ch}: int8gs int-dot",
+            lambda q: f1(q, d_db8[: (n // ch) * ch]), qs8, args.rounds, rtt)
+        f2 = jax.jit(functools.partial(
+            binmax_partial_topk_int8gs, nbins=1024, chunk=ch, mm_bf16=True))
+        ms = bench_variant(
+            f"C/chunk={ch}: int8gs mm_bf16",
+            lambda q: f2(q, d_db8[: (n // ch) * ch]), qs8, args.rounds, rtt)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""TPU hardware smoke test: kernel-vs-oracle recall asserted ON HARDWARE.
+
+The pytest suite runs Pallas kernels in interpret mode on CPU (conftest
+fakes 8 CPU devices), which cannot catch Mosaic tiling/lowering bugs that
+only appear in compiled TPU programs (PERF_NOTES.md "Mosaic tiling rules
+bit twice"). This script is the committed hardware gate (VERDICT round-1
+weak item #7): it builds a clustered corpus on the real chip, runs every
+production search kernel, and asserts recall@10 against the on-device
+exact oracle. Exit code 0 = all kernels healthy on this TPU.
+
+Usage:  python scripts/tpu_smoke.py [--n 200000] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=200_000)
+    p.add_argument("--d", type=int, default=768)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--quick", action="store_true", help="50k rows, skip IVF")
+    args = p.parse_args()
+    if args.quick:
+        args.n = 50_000
+
+    from rag_inference_pipeline_tpu.core.bootstrap import bootstrap
+
+    bootstrap()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    backend = jax.default_backend()
+    if backend == "cpu":
+        print(
+            json.dumps({"ok": False, "error": "no TPU (backend=cpu)"}),
+            flush=True,
+        )
+        return 2
+
+    from rag_inference_pipeline_tpu.ops import (
+        exact_topk,
+        fused_topk,
+        fused_topk_int8gs,
+        quantize_global_int8,
+    )
+
+    n, d, b, k = args.n, args.d, args.batch, args.k
+    rng = np.random.default_rng(0)
+    # clustered corpus: recall on uniform data is artificially easy
+    nclust = 512
+    centers = rng.standard_normal((nclust, d)).astype(np.float32)
+    x = centers[rng.integers(0, nclust, n)] + 0.3 * rng.standard_normal(
+        (n, d)
+    ).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[rng.integers(0, n, b)] + 0.02 * rng.standard_normal((b, d)).astype(
+        np.float32
+    )
+
+    db = jax.device_put(jnp.asarray(x, jnp.bfloat16))
+    qj = jax.device_put(jnp.asarray(q, jnp.float32))
+    jax.block_until_ready((db, qj))
+
+    t0 = time.time()
+    _, oracle = exact_topk(qj.astype(jnp.bfloat16), db, k, chunk=65536)
+    oracle = np.asarray(oracle)
+    results: dict[str, float] = {"oracle_ms": round((time.time() - t0) * 1e3, 1)}
+
+    def recall(ids) -> float:
+        ids = np.asarray(ids)
+        return float(
+            np.mean([len(set(ids[i]) & set(oracle[i])) / k for i in range(b)])
+        )
+
+    checks: list[tuple[str, float, float]] = []  # (name, recall, floor)
+
+    # 1. bf16 binmax fused kernel (compiled Pallas on hardware)
+    _, ids = fused_topk(qj.astype(jnp.bfloat16), db, k, nbins=1024, chunk=2048)
+    checks.append(("fused_bf16", recall(ids), 0.95))
+
+    # 2. int8 global-scale kernel + bf16 rescore (the headline config)
+    db_i8, gscale = quantize_global_int8(jnp.asarray(x, jnp.float32))
+    n_pad = -(-n // 4096) * 4096
+    if n_pad != n:
+        db_i8 = jnp.pad(db_i8, ((0, n_pad - n), (0, 0)))
+        db_re = jnp.pad(db, ((0, n_pad - n), (0, 0)))
+    else:
+        db_re = db
+    jax.block_until_ready(db_i8)
+    _, ids = fused_topk_int8gs(
+        qj, db_i8, gscale, k, nbins=1024, chunk=4096,
+        rescore_db=db_re, rescore_k=64, ntotal=n,
+    )
+    checks.append(("int8gs_rescore", recall(ids), 0.95))
+
+    # 3. int8 kernel raw (no rescore) — looser floor, quantization-limited
+    _, ids = fused_topk_int8gs(
+        qj, db_i8, gscale, k, nbins=1024, chunk=4096, ntotal=n
+    )
+    checks.append(("int8gs_raw", recall(ids), 0.85))
+
+    if not args.quick:
+        # 4. IVF-Flat batch-dedup Pallas kernel
+        from rag_inference_pipeline_tpu.index import IVFFlatIndex
+
+        ivf = IVFFlatIndex(d, 1024, nprobe=128)
+        ivf.train_add(x, train_size=20000)
+        _, ids = ivf.search(qj, k)
+        checks.append(("ivf_flat", recall(ids), 0.80))
+
+    ok = True
+    for name, rec, floor in checks:
+        results[f"recall_{name}"] = round(rec, 4)
+        if rec < floor:
+            ok = False
+            results[f"FAIL_{name}"] = f"recall {rec:.3f} < floor {floor}"
+
+    print(
+        json.dumps(
+            {"ok": ok, "backend": backend, "n": n, "batch": b, **results}
+        ),
+        flush=True,
+    )
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
