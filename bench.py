@@ -126,6 +126,25 @@ def main() -> None:
     dt = (time.time() - t0) / args.iters
     tpu_qps = b / dt
 
+    # cross-check protocol (PERF_NOTES "Measurement reliability"):
+    # block_until_ready through the axon tunnel does not guarantee
+    # execution, so also time per-iteration FULL FETCHES (np.asarray of the
+    # ids forces real execution + transfer) and subtract the measured RTT.
+    ts = []
+    for _ in range(5):
+        t0 = time.time()
+        np.asarray(qs[0][:1, :1])
+        ts.append(time.time() - t0)
+    rtt = sorted(ts)[len(ts) // 2]
+    t0 = time.time()
+    xiters = max(4, args.iters // 4)
+    for i in range(xiters):
+        _, ids_x = search(qs[i % 8])
+        np.asarray(ids_x)
+    dt_fetch = (time.time() - t0) / xiters - rtt
+    # dt_fetch is an upper bound (serialized, includes dispatch); dt must
+    # not exceed it — if it does, the pipelined number was under-measured
+
     # CPU baseline: first-party native multithreaded int8 scan (the faiss
     # SQ8 stand-in — equal index memory, comparable recall), subsampled and
     # scaled linearly to the full corpus (the scan is O(N) per batch).
@@ -164,6 +183,8 @@ def main() -> None:
             "recall_at_10": recall,
             "batch": b,
             "ms_per_batch": round(dt * 1e3, 3),
+            "ms_per_batch_fetch_crosscheck": round(dt_fetch * 1e3, 3),
+            "tunnel_rtt_ms": round(rtt * 1e3, 1),
             "cpu_scan_qps": round(cpu_qps, 2),
             "cpu_scan": "native int8 (cpuscan.cc), equal index memory",
             "cpu_threads": nthreads,

@@ -340,3 +340,58 @@ class TestNativeStoreCorruptFiles:
         for r in out:
             assert r is None or len(r["content"]) < 2**20
         be.close()
+
+
+class TestClearCacheEndpoint:
+    """/clear_cache parity: clears local caches and (single-node) returns
+    the cleared list; repeated queries after clearing recompute instead of
+    serving the cached response (reference gateway/api.py:181-209)."""
+
+    def test_clear_cache_and_recompute(self):
+        from tests.test_serve import (
+            make_overrides,
+            single_node_profile,
+            tiny_settings,
+        )
+        from rag_inference_pipeline_tpu.serve.factory import build_registry
+        from rag_inference_pipeline_tpu.serve.http import create_app
+
+        s_outer = tiny_settings()
+        rng = np.random.default_rng(1)
+        ov = make_overrides(s_outer, rng)
+
+        async def main():
+            from aiohttp.test_utils import TestClient, TestServer
+
+            registry = build_registry(
+                s_outer, single_node_profile(), overrides=ov
+            )
+            app = create_app(s_outer, single_node_profile(), registry)
+            client = TestClient(TestServer(app))
+            await client.start_server()
+            try:
+                q = {"query": "tell me about topic3", "request_id": "r1"}
+                r1 = await client.post("/query", json=q)
+                assert r1.status == 200, await r1.text()
+                orch = registry.get_optional("orchestrator")
+                key = ("tell me about topic3", s_outer.retrieval_k)
+                assert orch.query_cache.get(key) is not None  # cached
+
+                rc = await client.post("/clear_cache", json={})
+                assert rc.status == 200
+                cleared = (await rc.json())["cleared"]
+                assert "query" in cleared
+                assert orch.query_cache.get(key) is None
+
+                r2 = await client.post(
+                    "/query", json={**q, "request_id": "r2"}
+                )
+                assert r2.status == 200
+                out1, out2 = await r1.json(), await r2.json()
+                assert (
+                    out1["generated_response"] == out2["generated_response"]
+                )  # deterministic recompute
+            finally:
+                await client.close()
+
+        asyncio.new_event_loop().run_until_complete(main())
