@@ -420,7 +420,12 @@ def quantize_global_int8(
     up to quantization error (the scale is a positive constant)."""
     xf = x.astype(jnp.float32)
     maxabs = jnp.max(jnp.abs(xf), axis=-1)
-    clip = jnp.maximum(jnp.percentile(maxabs, clip_pct), 1e-9)
+    # method="lower": linear interpolation between the clip-percentile row
+    # and the NEXT one leaks an outlier's magnitude into the scale (a 1e4x
+    # row dragged the scale ~10x at N=1000 even at the 99.9th percentile)
+    clip = jnp.maximum(
+        jnp.percentile(maxabs, clip_pct, method="lower"), 1e-9
+    )
     scale = clip / 127.0
     q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
     return q, scale

@@ -254,3 +254,76 @@ class TestShardedEdgeCases:
         with pytest.raises(ValueError, match="nbins"):
             fused_topk(jnp.asarray(q), jnp.asarray(db), 200, nbins=128,
                        chunk=256, interpret=True)
+
+
+class TestGlobalScaleInt8:
+    """Round-2 kernel semantics: build-time chunk padding + ntotal masking,
+    mm_bf16 bit-exactness, and percentile-clipped global quantization."""
+
+    def test_ntotal_masks_pad_rows(self, rng):
+        """Pad rows (zeros appended to a chunk multiple) must never win a
+        bin even for a query whose true scores are all negative."""
+        from rag_inference_pipeline_tpu.ops import quantize_global_int8
+        from rag_inference_pipeline_tpu.ops.topk import (
+            binmax_partial_topk_int8gs,
+        )
+
+        n, d = 700, 64  # pads to 1024 with chunk=512
+        x = -np.abs(rng.standard_normal((n, d))).astype(np.float32)
+        q = np.abs(rng.standard_normal((4, d))).astype(np.float32)
+        db_i8, _ = quantize_global_int8(jnp.asarray(x))
+        db_i8 = jnp.pad(db_i8, ((0, 1024 - n), (0, 0)))
+        q_i8 = jnp.clip(jnp.round(jnp.asarray(q) * 10), -127, 127).astype(
+            jnp.int8
+        )
+        _, idxs = binmax_partial_topk_int8gs(
+            q_i8, db_i8, nbins=128, chunk=512, interpret=True, ntotal=n
+        )
+        idxs = np.asarray(idxs)
+        assert idxs.max() < n, "a zero pad row beat real negative scores"
+
+    def test_mm_bf16_bit_exact(self, rng):
+        from rag_inference_pipeline_tpu.ops.topk import (
+            binmax_partial_topk_int8gs,
+        )
+
+        db = jnp.asarray(
+            rng.integers(-127, 128, (2048, 128), dtype=np.int8)
+        )
+        q = jnp.asarray(rng.integers(-127, 128, (8, 128), dtype=np.int8))
+        kw = dict(nbins=256, chunk=1024, interpret=True, ntotal=2000)
+        v1, i1 = binmax_partial_topk_int8gs(q, db, **kw)
+        v2, i2 = binmax_partial_topk_int8gs(q, db, mm_bf16=True, **kw)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_global_quantize_clips_outlier_row(self, rng):
+        """One huge-magnitude row must not crush everyone's resolution:
+        the percentile-clipped scale keeps ordinary rows near full range."""
+        from rag_inference_pipeline_tpu.ops import quantize_global_int8
+
+        x = rng.standard_normal((1000, 32)).astype(np.float32)
+        x[7] *= 1e4  # outlier
+        q, scale = quantize_global_int8(jnp.asarray(x))
+        q = np.asarray(q)
+        ordinary = np.abs(q[np.arange(1000) != 7])
+        assert ordinary.max() >= 100, "ordinary rows lost resolution"
+        assert np.abs(q[7]).max() == 127  # outlier saturates, fine
+
+    def test_flat_index_build_padding_roundtrip(self, rng):
+        """FlatIndex int8: unaligned add -> chunk-padded storage, ntotal
+        stays true, search never returns pad ids, incremental add works."""
+        from rag_inference_pipeline_tpu.index import FlatIndex
+
+        n, d = 777, 32
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        idx = FlatIndex(d, dtype="int8", rescore_k=16, chunk=256)
+        idx.add(x)
+        assert idx.ntotal == n
+        assert idx._db_i8.shape[0] % idx._chunk_i8 == 0
+        _, ids = idx.search(jnp.asarray(x[:3]), 5)
+        assert np.asarray(ids).max() < n
+        idx.add(x[:10])
+        assert idx.ntotal == n + 10
+        _, ids2 = idx.search(jnp.asarray(x[:3]), 5)
+        assert np.asarray(ids2).max() < n + 10
