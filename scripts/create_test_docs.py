@@ -53,6 +53,11 @@ def main() -> None:
     p.add_argument("--nlist", type=int, default=1024)
     p.add_argument("--pq-m", type=int, default=96)
     p.add_argument(
+        "--dtype", choices=["bfloat16", "int8"], default="bfloat16",
+        help="flat index storage (int8 = SQ8 scan + bf16 rescore copy, "
+        "the headline serving config)",
+    )
+    p.add_argument(
         "--embed", action="store_true",
         help="embed docs with the configured embedder (else random vectors, "
         "matching the reference's random index)",
@@ -109,7 +114,10 @@ def main() -> None:
     if args.kind == "flat":
         from rag_inference_pipeline_tpu.index import FlatIndex
 
-        idx = FlatIndex(dim)
+        idx = FlatIndex(
+            dim, dtype=args.dtype,
+            rescore_k=64 if args.dtype == "int8" else 0,
+        )
         idx.add(vectors)
     elif args.kind == "ivf_flat":
         from rag_inference_pipeline_tpu.index import IVFFlatIndex

@@ -175,3 +175,59 @@ class TestIVFPQOPQ:
         assert idx2.opq and idx2._rotation is not None
         s2, i2 = idx2.search(q, 10)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
+
+
+class TestIVFExactKnob:
+    """ADVICE round-1 item: the positional bin-max Pallas path can collapse
+    two true neighbors at the same in-list position; exact=True must route
+    to the XLA gather path which is exact within probed lists (faiss
+    IndexIVFFlat semantics)."""
+
+    def test_exact_true_matches_oracle_within_probes(self, rng):
+        import jax.numpy as jnp
+
+        from rag_inference_pipeline_tpu.index import IVFFlatIndex
+        from rag_inference_pipeline_tpu.ops import exact_topk
+
+        n, d, nlist, k = 5000, 32, 16, 10
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        q = x[rng.integers(0, n, 8)] + 0.01 * rng.standard_normal(
+            (8, d)
+        ).astype(np.float32)
+
+        idx = IVFFlatIndex(d, nlist, nprobe=nlist, exact=True)  # all lists
+        idx.train_add(x, train_size=2000)
+        _, ids = idx.search(jnp.asarray(q), k)
+        _, oracle = exact_topk(jnp.asarray(q), jnp.asarray(x), k)
+        ids, oracle = np.asarray(ids), np.asarray(oracle)
+        # probing every list with the exact path == brute force
+        rec = np.mean(
+            [len(set(ids[i]) & set(oracle[i])) / k for i in range(8)]
+        )
+        assert rec == 1.0, rec
+
+    def test_exact_knob_at_least_as_good_as_default(self, rng):
+        import jax.numpy as jnp
+
+        from rag_inference_pipeline_tpu.index import IVFFlatIndex
+        from rag_inference_pipeline_tpu.ops import exact_topk
+
+        n, d, nlist, k = 5000, 32, 32, 10
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        q = x[rng.integers(0, n, 8)] + 0.01 * rng.standard_normal(
+            (8, d)
+        ).astype(np.float32)
+        _, oracle = exact_topk(jnp.asarray(q), jnp.asarray(x), k)
+        oracle = np.asarray(oracle)
+
+        def recall(exact):
+            idx = IVFFlatIndex(d, nlist, nprobe=8, exact=exact)
+            idx.train_add(x, train_size=2000)
+            _, ids = idx.search(jnp.asarray(q), k)
+            ids = np.asarray(ids)
+            return np.mean(
+                [len(set(ids[i]) & set(oracle[i])) / k for i in range(8)]
+            )
+
+        assert recall(True) >= recall(False) - 1e-9
