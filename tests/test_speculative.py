@@ -119,3 +119,70 @@ class TestSpeculativeIdentity:
         out_g = c_greedy.generate_batch(queries, docs)
         out_s = c_spec.generate_batch(queries, docs)
         assert out_g == out_s
+
+
+class TestSpeculativeEdges:
+    def test_gamma_exceeds_max_new(self, tiny, rng):
+        """gamma > max_new_tokens: draft windows overhang the budget but
+        committed output must still be exactly the greedy tokens."""
+        import jax
+
+        from rag_inference_pipeline_tpu.models.qwen import (
+            greedy_generate,
+            ngram_speculative_generate,
+        )
+
+        cfg, params = tiny
+        ids = jnp.asarray(rng.integers(1, 400, (2, 6)), jnp.int32)
+        mask = jnp.ones_like(ids)
+        ref = greedy_generate(
+            params, cfg, ids, mask, 4, eos_token_id=-1, cache_len=16
+        )
+        got, _ = ngram_speculative_generate(
+            params, cfg, ids, mask, 4, gamma=9, eos_token_id=-1, cache_len=16
+        )
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    def test_repetitive_prompt_commits_multiple_per_call(self, tiny, rng):
+        """A highly repetitive prompt should give the n-gram draft high
+        acceptance — mean tokens/call must exceed 1 when the model itself
+        falls into the prompt's loop, and output stays greedy-identical."""
+        from rag_inference_pipeline_tpu.models.qwen import (
+            greedy_generate,
+            ngram_speculative_generate,
+        )
+
+        cfg, params = tiny
+        pat = rng.integers(1, 50, 4)
+        prompt = np.tile(pat, 6)[:20]
+        ids = jnp.asarray(prompt[None, :], jnp.int32)
+        mask = jnp.ones_like(ids)
+        ref = greedy_generate(
+            params, cfg, ids, mask, 8, eos_token_id=-1, cache_len=40
+        )
+        got, mean_per_call = ngram_speculative_generate(
+            params, cfg, ids, mask, 8, gamma=4, eos_token_id=-1, cache_len=40
+        )
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+        assert float(mean_per_call) >= 1.0  # never slower than greedy
+
+    def test_batch_rows_independent(self, tiny, rng):
+        """Speculation commits per-row: a row with high acceptance must not
+        perturb a row with none (padding/rollback isolation)."""
+        from rag_inference_pipeline_tpu.models.qwen import (
+            greedy_generate,
+            ngram_speculative_generate,
+        )
+
+        cfg, params = tiny
+        rep = np.tile(rng.integers(1, 50, 3), 5)[:12]
+        rnd = rng.integers(1, 400, 12)
+        ids = jnp.asarray(np.stack([rep, rnd]), jnp.int32)
+        mask = jnp.ones_like(ids)
+        ref = greedy_generate(
+            params, cfg, ids, mask, 6, eos_token_id=-1, cache_len=24
+        )
+        got, _ = ngram_speculative_generate(
+            params, cfg, ids, mask, 6, gamma=3, eos_token_id=-1, cache_len=24
+        )
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
