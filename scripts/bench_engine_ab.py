@@ -60,7 +60,8 @@ def bench_static(params, cfg, reqs, batch, eos, cache_len):
             params, cfg, jnp.asarray(ids), jnp.asarray(mask),
             max_new, eos_token_id=eos, cache_len=min(cache_len, plen + max_new),
         )
-        jax.block_until_ready(out)
+        # full fetch — block_until_ready through the tunnel does not await
+        np.asarray(out)
         # each request only wanted its own max_new
         total += sum(r[1] for r in chunk)
     dt = time.perf_counter() - t0
