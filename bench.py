@@ -31,6 +31,10 @@ import numpy as np
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--smoke", action="store_true", help="tiny shapes, fast")
+    p.add_argument(
+        "--n", type=int, default=0,
+        help="corpus rows (default 1M; 4500000 = reference scale)",
+    )
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--nbins", type=int, default=1024)
     p.add_argument("--iters", type=int, default=16)
@@ -55,13 +59,21 @@ def main() -> None:
     )
 
     n, d, k = (65536, 256, 10) if args.smoke else (1_000_000, 768, 10)
+    if args.n:
+        n = args.n
     b = args.batch
     key = jax.random.key(0)
     kd, kq, kp = jax.random.split(key, 3)
 
+    # generate the corpus PRE-PADDED to the scan-chunk multiple and mask pad
+    # rows via ntotal= everywhere: a post-hoc jnp.pad would hold two full
+    # copies alive (17+ GB transient at the 4.5M reference scale -> HBM OOM)
+    chunk = 8192 if args.nbins <= 1024 and not args.smoke else 4096
+    n_pad = ((n + chunk - 1) // chunk) * chunk if args.kernel == "int8" else n
+
     # corpus generated on device (clustered enough for ANN realism is not
     # required for *flat* scan timing; recall is measured vs exact anyway)
-    db = jax.random.normal(kd, (n, d), jnp.bfloat16)
+    db = jax.random.normal(kd, (n_pad, d), jnp.bfloat16)
     q_base_rows = jax.random.randint(kq, (b,), 0, n)
     q_base = db[q_base_rows].astype(jnp.float32)
     noise = 0.05 * jax.random.normal(kp, (b, d), jnp.float32)
@@ -72,19 +84,22 @@ def main() -> None:
     # + [B, nbins] accumulators must fit 16 MB; int8 blocks are half size
     interpret = jax.default_backend() == "cpu"  # Pallas on CPU = interpret
     if args.kernel == "int8":
-        chunk = 8192 if args.nbins <= 1024 and not args.smoke else 4096
-        db_i8, db_scale = quantize_global_int8(db.astype(jnp.float32))
+        # quantize in row blocks: a whole-array f32 upcast is 13.8 GB at
+        # the 4.5M scale (scale comes from the first block — same corpus
+        # distribution, so the clip percentile matches)
+        blk = 1 << 20
+        _, db_scale = quantize_global_int8(
+            db[: min(blk, n_pad)].astype(jnp.float32)
+        )
+        qfn = jax.jit(
+            lambda x, s: jnp.clip(
+                jnp.round(x.astype(jnp.float32) / s), -127, 127
+            ).astype(jnp.int8)
+        )
+        db_i8 = jnp.concatenate(
+            [qfn(db[i : i + blk], db_scale) for i in range(0, n_pad, blk)]
+        )
         jax.block_until_ready((db_i8, db_scale))
-
-        # chunk-align at "build" (as FlatIndex does): an unaligned array
-        # forces a whole-corpus jnp.pad copy inside every jitted search
-        # (+2.2 ms/call at 1M — PERF_NOTES round-2 kernel findings)
-        n_pad = ((n + chunk - 1) // chunk) * chunk
-        db_re = db
-        if n_pad != n:
-            db_i8 = jnp.pad(db_i8, ((0, n_pad - n), (0, 0)))
-            db_re = jnp.pad(db, ((0, n_pad - n), (0, 0)))
-        jax.block_until_ready(db_i8)
 
         # global-scale int8 scan (bf16-upcast MXU matmul — bit-exact int
         # scores, measured fastest on v5e; ablate4) + exact bf16 re-score
@@ -93,7 +108,7 @@ def main() -> None:
             return fused_topk_int8gs(
                 q.astype(jnp.float32), db_i8, db_scale, k,
                 nbins=args.nbins, chunk=chunk, interpret=interpret,
-                rescore_db=db_re, rescore_k=64, ntotal=n, mm_bf16=True,
+                rescore_db=db, rescore_k=64, ntotal=n, mm_bf16=True,
             )
     else:
         chunk = 2048
@@ -103,8 +118,8 @@ def main() -> None:
                 q, db, k, nbins=args.nbins, chunk=chunk, interpret=interpret
             )
 
-    # recall vs on-device exact (full-precision) oracle
-    es, ei = exact_topk(q0, db, k, chunk=131072)
+    # recall vs on-device exact (full-precision) oracle (pad rows masked)
+    es, ei = exact_topk(q0, db, k, chunk=131072, ntotal=n)
     fs, fi = search(q0)
     jax.block_until_ready((ei, fi))
     ei_np, fi_np = np.asarray(ei), np.asarray(fi)
