@@ -108,6 +108,10 @@ def main():
     tok_total = sum(r[1] for r in reqs)
     print(f"{len(reqs)} requests, {tok_total} wanted tokens", flush=True)
 
+    # run every variant TWICE: the first pass eats the novel-compile cost
+    # (static: one program per (plen-bucket, max_new); engine: per
+    # segment_steps) — only the warm second pass is comparable
+    bench_static(params, cfg, reqs, args.lanes, eos, args.cache_len)
     qps, dt = bench_static(
         params, cfg, reqs, args.lanes, eos, args.cache_len
     )
@@ -116,6 +120,10 @@ def main():
 
     for steps in (8, 16, 32, 64):
         for pipelined in (False, True):
+            bench_engine(
+                params, cfg, reqs, args.lanes, steps, eos,
+                args.cache_len, pipelined,
+            )
             qps, dt = bench_engine(
                 params, cfg, reqs, args.lanes, steps, eos,
                 args.cache_len, pipelined,
