@@ -118,8 +118,15 @@ def main() -> None:
                 q, db, k, nbins=args.nbins, chunk=chunk, interpret=interpret
             )
 
-    # recall vs on-device exact (full-precision) oracle (pad rows masked)
-    es, ei = exact_topk(q0, db, k, chunk=131072, ntotal=n)
+    # recall vs on-device exact (full-precision) oracle (pad rows masked).
+    # oracle chunk must DIVIDE the stored row count: exact_topk jnp.pads
+    # the db to a chunk multiple otherwise — a second full-corpus copy
+    # that OOMs HBM at the 4.5M scale (17.3 GB transient)
+    oracle_chunk = next(
+        c for c in (131072, 65536, 32768, 16384, 8192, db.shape[0])
+        if db.shape[0] % c == 0
+    )
+    es, ei = exact_topk(q0, db, k, chunk=oracle_chunk, ntotal=n)
     fs, fi = search(q0)
     jax.block_until_ready((ei, fi))
     ei_np, fi_np = np.asarray(ei), np.asarray(fi)
