@@ -710,6 +710,7 @@ def sharded_topk_int8gs(
             nbins=nbins, chunk=chunk, interpret=interpret,
             rescore_db=rdb_local if use_rescore else None,
             rescore_k=rescore_k if use_rescore else 0,
+            mm_bf16=True,  # bit-exact, ~6% faster on v5e (ablate4)
         )
         shard = jax.lax.axis_index(DP_AXIS)
         valid = i >= 0  # empty bins / masked candidates stay -1
