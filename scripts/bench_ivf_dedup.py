@@ -102,14 +102,21 @@ def main() -> None:
             qs.append(jax.device_put(jnp.asarray(qi, jnp.float32)))
         jax.block_until_ready(qs)
 
-        flat_fn = jax.jit(lambda q: fused_topk_int8gs(
-            q, db_i8, gscale, args.k, nbins=1024, chunk=chunk,
-            rescore_db=db_re, rescore_k=64, ntotal=n, mm_bf16=True,
-            interpret=interp,
-        ))
-        ivf_fn = jax.jit(lambda q: ivf_search_dedup(
-            listing, q, args.k, nprobe=args.nprobe, interpret=interp,
-        ))
+        # NO jit(lambda) wrappers: closing over the corpus ships it as an
+        # HLO constant to the remote compile helper, which hangs on the
+        # gigabyte literal (PERF_NOTES "Tunnel hazard"). The kernels are
+        # already jitted with arrays as proper arguments.
+        def flat_fn(q):
+            return fused_topk_int8gs(
+                q, db_i8, gscale, args.k, nbins=1024, chunk=chunk,
+                rescore_db=db_re, rescore_k=64, ntotal=n, mm_bf16=True,
+                interpret=interp,
+            )
+
+        def ivf_fn(q):
+            return ivf_search_dedup(
+                listing, q, args.k, nprobe=args.nprobe, interpret=interp,
+            )
 
         # recall of each vs exact oracle on the first query set
         _, oracle = exact_topk(qs[0].astype(jnp.bfloat16), db_bf, args.k,
