@@ -95,6 +95,12 @@ class Settings(BaseModel):
     index_pq_bits: int = 8
     index_dtype: str = "bfloat16"  # storage dtype for flat/ivf vectors
     index_search_oversample: int = 4  # partial-topk bin oversampling
+    # exact re-score shortlist depth. flat-int8: 64 recovers the SQ8 gap
+    # (0.975 -> 0.998 measured at 1M). ivf_pq: ADC misranks tightly-packed
+    # true neighbors, so the shortlist must be ~25x k — 256 measured
+    # 0.963 recall@10 at 100k vs 0.787 at 64 (tests/test_round2_gaps.py)
+    index_rescore_k: int = 64
+    index_pq_rescore_k: int = 256
     index_shard_axis: str = "dp"  # mesh axis database rows are sharded over
 
     # --- retrieval / generation semantics (reference :231-244) ---

@@ -18,6 +18,7 @@ def make_index(settings, mesh=None) -> BaseIndex:
             dtype=settings.index_dtype,
             mesh=mesh,
             nbins=min(nbins, 2048),
+            rescore_k=settings.index_rescore_k,
         )
     if kind is IndexKind.IVF_FLAT:
         return IVFFlatIndex(
@@ -34,6 +35,7 @@ def make_index(settings, mesh=None) -> BaseIndex:
         settings.index_pq_m,
         nprobe=settings.index_nprobe,
         mesh=mesh,
+        rescore_k=settings.index_pq_rescore_k,
     )
 
 
