@@ -26,6 +26,11 @@ def main() -> None:
     ap.add_argument("--nprobe", type=int, default=64)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--iters", type=int, default=24)
+    ap.add_argument(
+        "--pq", action="store_true",
+        help="also bench IVF-PQ (PQ4 one-hot MXU ADC dedup kernel + exact "
+        "rescore-256) at the same batch ladder",
+    )
     args = ap.parse_args()
 
     from rag_inference_pipeline_tpu.core.bootstrap import bootstrap
@@ -93,6 +98,20 @@ def main() -> None:
     tunnel = rtt()
     print(f"tunnel RTT ~ {tunnel * 1e3:.1f} ms", flush=True)
 
+    pq_idx = None
+    if args.pq:
+        from rag_inference_pipeline_tpu.index import IVFPQIndex
+
+        t0 = time.time()
+        # PQ4 (ksub=16): the gather-free one-hot MXU ADC path; m doubled to
+        # keep bits/row equal to PQ8 (ops/pq.py)
+        pq_idx = IVFPQIndex(
+            d, args.nlist, min(2 * 96, d), nprobe=args.nprobe,
+            rescore_k=256, ksub=16,
+        )
+        pq_idx.train_add(x, train_size=65536, kmeans_iters=8, pq_iters=8)
+        print(f"ivfpq build: {time.time() - t0:.1f}s", flush=True)
+
     for b in (1, 2, 4, 8):
         qs = []
         for i in range(16):
@@ -129,8 +148,14 @@ def main() -> None:
                 [len(set(ids[i]) & set(oracle[i])) / args.k for i in range(b)]
             ))
 
+        def pq_fn(q):
+            return pq_idx.search(q, args.k)
+
+        variants = [("flat_int8", flat_fn), ("ivf_dedup", ivf_fn)]
+        if pq_idx is not None:
+            variants.append(("ivfpq4_256", pq_fn))
         out = {}
-        for name, fn in (("flat_int8", flat_fn), ("ivf_dedup", ivf_fn)):
+        for name, fn in variants:
             _, ids0 = fn(qs[0])
             rec = recall(ids0)
             outs = [fn(qs[0])]
