@@ -159,7 +159,11 @@ class Settings(BaseModel):
     doc_tokens_path: Optional[str] = None
 
     # --- generation decode engine ---
-    use_continuous_batching: bool = False  # persistent-lane decode engine
+    # persistent-lane decode engine. Default ON since round 2: warm A/B on
+    # mixed 16-512-token workloads measured 822-1222 tok/s vs 163 tok/s for
+    # decode-to-completion (PERF_NOTES "engine A/B — WARM"); token output is
+    # identical to solo greedy decode by construction (tested).
+    use_continuous_batching: bool = True
     decode_segment_steps: int = 8
     decode_max_concurrency: int = 32  # continuous-batching lanes
     # dispatch segment N+1 before fetching segment N's done flags — hides

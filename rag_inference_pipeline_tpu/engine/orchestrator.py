@@ -281,7 +281,11 @@ class Orchestrator:
                 entry["doc_ids"] = ret.get("ids", [])
             payload_items.append(entry)
         if self.generation_service is not None:
-            if self.settings.use_continuous_batching:
+            # engine path is duck-typed: a service without the async engine
+            # API (or with the engine not running) uses the sync batch path
+            if self.settings.use_continuous_batching and hasattr(
+                self.generation_service, "process_batch_async"
+            ):
                 return await self.generation_service.process_batch_async(
                     payload_items
                 )
