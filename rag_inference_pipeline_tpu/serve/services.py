@@ -314,6 +314,14 @@ class GenerationService:
         if why:
             raise RuntimeError(f"generation not ready: {why}")
         loop = asyncio.get_running_loop()
+        if (
+            not hasattr(self.llm, "generate_batch_engine")
+            or getattr(self.llm, "engine", None) is None
+        ):
+            # engine not running (failed start, stub LLM, or engine-less
+            # deployment) — serve through the sync batch path instead of
+            # failing the request
+            return await loop.run_in_executor(None, self.process_batch, items)
         queries = [it.get("query", "") for it in items]
         # doc-store fetch / zstd decompress must not block the event loop
         docs_batch = await loop.run_in_executor(
