@@ -395,3 +395,63 @@ class TestClearCacheEndpoint:
                 await client.close()
 
         asyncio.new_event_loop().run_until_complete(main())
+
+
+class TestEngineDefaultOnFallbacks:
+    """use_continuous_batching defaults ON since round 2 — services and
+    orchestrator must degrade to the sync path when the engine is absent
+    (stub LLMs, failed engine start, engine-less deployments)."""
+
+    def test_generation_service_falls_back_without_engine(self):
+        from rag_inference_pipeline_tpu.serve.services import GenerationService
+
+        class StubLLM:  # no generate_batch_engine, no engine attr
+            is_loaded = True
+            random_weights = False
+
+            def generate_batch(self, qs, ds, max_new_tokens=None):
+                return [f"sync:{q}" for q in qs]
+
+        s = Settings(use_continuous_batching=True)
+        svc = GenerationService(s, llm=StubLLM())
+        out = asyncio.new_event_loop().run_until_complete(
+            svc.process_batch_async(
+                [{"query": "a", "documents": [{"id": 1, "content": "x"}]}]
+            )
+        )
+        assert out[0]["generated_response"] == "sync:a"
+
+    def test_orchestrator_duck_types_engine_path(self):
+        from rag_inference_pipeline_tpu.engine.orchestrator import Orchestrator
+
+        class FakeGenNoAsync:  # sync-only service
+            def process_batch(self, items):
+                return [
+                    {"generated_response": "ok", "sentiment": "neutral",
+                     "is_toxic": False}
+                    for _ in items
+                ]
+
+        class FakeRet:
+            def process_batch(self, items):
+                return [
+                    {"ids": [1], "scores": [1.0],
+                     "documents": [{"id": 1, "content": "c"}]}
+                    for _ in items
+                ]
+
+        async def main():
+            orch = Orchestrator(
+                Settings(
+                    use_continuous_batching=True, gateway_batch_timeout_ms=5.0
+                ),
+                retrieval_executor=FakeRet(),
+                generation_service=FakeGenNoAsync(),
+            )
+            await orch.start()
+            out = await orch.process_query("q", "r1")
+            await orch.stop()
+            return out
+
+        out = asyncio.new_event_loop().run_until_complete(main())
+        assert out["generated_response"] == "ok"
