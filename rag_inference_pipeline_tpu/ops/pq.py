@@ -419,15 +419,25 @@ def _adc4_kernel(slots_ref, lut_ref, codes_ref, out_ref, *, m, cap):
     # 128 lanes); and the lane value pattern c % 16
     row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     col128 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    sel = (row8 == col128 // 16).astype(jnp.bfloat16)
+    sel = (row8 == col128 // 16).astype(jnp.float32)
     vals = (
         jax.lax.broadcasted_iota(jnp.int32, (cap, 128), 1) % 16
     )
     acc = jnp.zeros((b_pad, cap), jnp.float32)
     for g in range(m // 8):
-        cg = codes[:, g * 8 : (g + 1) * 8].astype(jnp.bfloat16)  # [cap, 8]
+        # Mosaic cannot lower uint8 -> bfloat16 directly (hardware-only
+        # failure; interpret mode accepted it) — hop through int32/f32.
+        # Values are 4-bit codes, exact in every dtype on this path.
+        cg = (
+            codes[:, g * 8 : (g + 1) * 8].astype(jnp.int32)
+            .astype(jnp.float32)
+        )  # [cap, 8]
         bcast = jnp.dot(cg, sel, preferred_element_type=jnp.float32)
-        onehot = (bcast == vals.astype(jnp.float32)).astype(jnp.bfloat16)
+        onehot = (
+            (bcast == vals.astype(jnp.float32))
+            .astype(jnp.float32)  # bool->bf16 also has no direct lowering
+            .astype(jnp.bfloat16)
+        )
         lut_g = lut_ref[:, g * 128 : (g + 1) * 128]  # [b_pad, 128]
         acc = acc + jax.lax.dot_general(
             lut_g,

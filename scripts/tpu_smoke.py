@@ -118,6 +118,17 @@ def main() -> int:
         _, ids = ivf.search(qj, k)
         checks.append(("ivf_flat", recall(ids), 0.80))
 
+        # 5. IVF-PQ4 one-hot MXU ADC kernel + rescore (compiled Pallas —
+        # caught a hardware-only Mosaic uint8->bf16 cast bug in round 2)
+        from rag_inference_pipeline_tpu.index import IVFPQIndex
+
+        pq = IVFPQIndex(
+            d, 512, 96, nprobe=128, rescore_k=256, ksub=16
+        )
+        pq.train_add(x, train_size=20000, kmeans_iters=6, pq_iters=6)
+        _, ids = pq.search(qj, k)
+        checks.append(("ivfpq4_rescore", recall(ids), 0.80))
+
     ok = True
     for name, rec, floor in checks:
         results[f"recall_{name}"] = round(rec, 4)
