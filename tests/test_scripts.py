@@ -218,3 +218,47 @@ class TestSyncRequirements:
             os.path.join(SCRIPTS, "..", "requirements.txt")
         ).read()
         assert gen == committed, "requirements.txt drifted from pyproject"
+
+
+class TestConvertHFCheckpoint:
+    def test_convert_and_validate_tiny_qwen(self, tmp_path, monkeypatch):
+        """HF snapshot dir -> framework weights layout, validated by a
+        forward pass through the converted weights (offline path)."""
+        import jax.numpy as jnp
+        import torch
+        import transformers
+        from safetensors.torch import save_file
+
+        from rag_inference_pipeline_tpu.models.qwen import QwenConfig
+
+        src = tmp_path / "snapshot"
+        src.mkdir()
+        cfg_hf = transformers.Qwen2Config(
+            vocab_size=512, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            intermediate_size=128, max_position_embeddings=256,
+            tie_word_embeddings=True,
+        )
+        torch.manual_seed(0)
+        hf = transformers.Qwen2ForCausalLM(cfg_hf).eval()
+        state = {
+            k: v.clone().contiguous() for k, v in hf.state_dict().items()
+        }
+        save_file(state, str(src / "model.safetensors"))
+        (src / "tokenizer.json").write_text("{}")  # copied verbatim
+
+        tiny = QwenConfig(
+            vocab_size=512, hidden=64, layers=2, heads=4, kv_heads=2,
+            head_dim=16, intermediate=128, tie_embeddings=True, max_len=256,
+        )
+        monkeypatch.setattr(QwenConfig, "qwen25_05b", staticmethod(lambda: tiny))
+        conv = load_script("convert_hf_checkpoint")
+        monkeypatch.setattr(
+            sys, "argv",
+            ["convert_hf_checkpoint.py", str(src), "tiny/qwen",
+             "--weights-dir", str(tmp_path / "weights"), "--arch", "qwen"],
+        )
+        conv.main()
+        dst = tmp_path / "weights" / "tiny__qwen"
+        assert (dst / "model.safetensors").exists()
+        assert (dst / "tokenizer.json").exists()
