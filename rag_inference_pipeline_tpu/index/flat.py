@@ -8,6 +8,7 @@ exact XLA scan (oracle / CPU).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -27,6 +28,30 @@ from .base import BaseIndex, save_npz, storage_dtype
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=())
+def _write_rows(dst: jax.Array, block: jax.Array, start: jax.Array) -> jax.Array:
+    return jax.lax.dynamic_update_slice(dst, block, (start, 0))
+
+
+def _chunked_device_put(
+    host: np.ndarray, dtype, rows_per_block: int = 262144
+) -> jax.Array:
+    """Upload a large host array in row blocks.
+
+    One multi-GB device_put is fragile through the tunneled transport
+    (observed FAILED_PRECONDITION at ~4 GB) and pins the whole array at
+    once; block writes with buffer donation keep peak device memory at
+    full-size + one block and each transfer small."""
+    n = host.shape[0]
+    if n <= rows_per_block:
+        return jax.device_put(jnp.asarray(host, dtype))
+    dst = jnp.zeros(host.shape, dtype)
+    for s in range(0, n, rows_per_block):
+        blk = jnp.asarray(host[s : s + rows_per_block], dtype)
+        dst = _write_rows(dst, blk, jnp.int32(s))
+    return dst
 
 
 class FlatIndex(BaseIndex):
@@ -253,7 +278,7 @@ class FlatIndex(BaseIndex):
                 n_pad = _round_up(n, idx._chunk_i8)
                 codes = np.zeros((n_pad, idx.dim), np.int8)
                 codes[:n] = z["vectors_i8"]
-                idx._db_i8 = jax.device_put(jnp.asarray(codes))
+                idx._db_i8 = _chunked_device_put(codes, jnp.int8)
                 idx._db_gscale = jax.device_put(
                     jnp.asarray(z["gscale"], jnp.float32)
                 )
@@ -266,7 +291,7 @@ class FlatIndex(BaseIndex):
 
                     re = np.zeros((n_pad, idx.dim), ml_dtypes.bfloat16)
                     re[:n] = z["vectors_rescore"].astype(ml_dtypes.bfloat16)
-                    idx._db = jax.device_put(jnp.asarray(re))
+                    idx._db = _chunked_device_put(re, jnp.bfloat16)
                 else:
                     idx.rescore_k = 0
                 idx.ntotal = n
