@@ -327,3 +327,35 @@ class TestGlobalScaleInt8:
         assert idx.ntotal == n + 10
         _, ids2 = idx.search(jnp.asarray(x[:3]), 5)
         assert np.asarray(ids2).max() < n + 10
+
+
+class TestChunkedDeviceUpload:
+    def test_chunked_put_matches_direct(self, rng):
+        from rag_inference_pipeline_tpu.index.flat import _chunked_device_put
+
+        x = rng.standard_normal((1000, 32)).astype(np.float32)
+        a = np.asarray(_chunked_device_put(x, jnp.float32, rows_per_block=256))
+        np.testing.assert_array_equal(a, x)
+        # int8 path
+        xi = rng.integers(-127, 128, (700, 16), dtype=np.int8)
+        b = np.asarray(_chunked_device_put(xi, jnp.int8, rows_per_block=128))
+        np.testing.assert_array_equal(b, xi)
+
+    def test_int8_load_uses_host_side_bf16(self, rng, tmp_path):
+        """Save/load at a size crossing the block boundary stays exact in
+        the bf16 rescore copy (f16 npz -> host ml_dtypes bf16 -> device)."""
+        from rag_inference_pipeline_tpu.index import FlatIndex
+
+        n, d = 600, 16
+        x = (rng.standard_normal((n, d)) * 0.1).astype(np.float32)
+        idx = FlatIndex(d, dtype="int8", rescore_k=8, chunk=128, nbins=128)
+        idx.add(x)
+        p = str(tmp_path / "i.npz")
+        idx.save(p)
+        idx2 = FlatIndex.load(p)
+        s1, i1 = idx.search(jnp.asarray(x[:4]), 5)
+        s2, i2 = idx2.search(jnp.asarray(x[:4]), 5)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(
+            np.asarray(s1), np.asarray(s2), rtol=1e-2, atol=1e-3
+        )
