@@ -81,8 +81,10 @@ class FlatIndex(BaseIndex):
             use_fused = jax.default_backend() not in ("cpu",)
         self.use_fused = use_fused
         # int8 scan chunk (rows per grid step); arrays are padded to a
-        # multiple of this at build so no per-call pad copy exists
-        self._chunk_i8 = min(chunk * 2, 8192)
+        # multiple of this at build so no per-call pad copy exists. The
+        # kernel requires chunk % nbins == 0 — round up so a small `chunk`
+        # with a larger `nbins` cannot build an unsearchable index
+        self._chunk_i8 = _round_up(min(chunk * 2, 8192), nbins)
         self._db: Optional[jax.Array] = None
         self._db_sq: Optional[jax.Array] = None
         self._db_i8: Optional[jax.Array] = None  # SQ8 storage mode
