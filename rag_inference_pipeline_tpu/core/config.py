@@ -159,11 +159,19 @@ class Settings(BaseModel):
     doc_tokens_path: Optional[str] = None
 
     # --- generation decode engine ---
-    # persistent-lane decode engine. Default ON since round 2: warm A/B on
-    # mixed 16-512-token workloads measured 822-1222 tok/s vs 163 tok/s for
-    # decode-to-completion (PERF_NOTES "engine A/B — WARM"); token output is
-    # identical to solo greedy decode by construction (tested).
-    use_continuous_batching: bool = True
+    # persistent-lane decode engine. Two measured regimes (PERF_NOTES):
+    # - isolated decode, mixed 16-512-token workload: engine 822-1222 tok/s
+    #   vs 163 for decode-to-completion (5-7.5x win — no straggler wait);
+    # - full HTTP stack on the TUNNELED single chip at 4.5M docs: static
+    #   173 req/min p50 1.17 s vs engine 50 req/min p50 7.9 s — the
+    #   per-segment host interaction loses to monolithic decode when every
+    #   host<->device sync pays ~35-100 ms RTT and shares one host core
+    #   with the event loop.
+    # Default OFF: correct for tunneled/remote devices. Turn ON for
+    # host-attached TPUs serving mixed-length workloads (sync cost ~1 ms
+    # there, and the no-straggler property dominates). Token output is
+    # identical to solo greedy decode either way (tested).
+    use_continuous_batching: bool = False
     decode_segment_steps: int = 8
     decode_max_concurrency: int = 32  # continuous-batching lanes
     # dispatch segment N+1 before fetching segment N's done flags — hides
