@@ -68,7 +68,12 @@ def main() -> None:
     # generate the corpus PRE-PADDED to the scan-chunk multiple and mask pad
     # rows via ntotal= everywhere: a post-hoc jnp.pad would hold two full
     # copies alive (17+ GB transient at the 4.5M reference scale -> HBM OOM)
+    # VMEM budget: db block (chunk x d int8, multi-buffered) + [B, nbins]
+    # i32 accumulators x2 + [B, chunk-sub] scores must fit 16 MB; at
+    # batch >= 256 the accumulators grow, so halve the chunk
     chunk = 8192 if args.nbins <= 1024 and not args.smoke else 4096
+    if args.batch >= 256:
+        chunk = 4096
     n_pad = ((n + chunk - 1) // chunk) * chunk if args.kernel == "int8" else n
 
     # corpus generated on device (clustered enough for ANN realism is not
