@@ -118,7 +118,10 @@ class FusedExecutor:
                 max_new_tokens=s.max_tokens,
                 use_fused_topk=False,  # exact scan for the bf16 path
                 index_dtype=getattr(self, "_index_dtype", "bfloat16"),
-                rescore_k=max(s.retrieval_k, 64),
+                # strictly greater than k: the kernel's `rescore_k > k` gate
+                # would otherwise silently disable the exact bf16 re-score
+                # whenever retrieval_k >= 64 (recall 0.998 -> ~0.975)
+                rescore_k=s.retrieval_k + 64,
             )
             pipe.build(
                 self.embedder.params, self.llm.params,

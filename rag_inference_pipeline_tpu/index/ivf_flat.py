@@ -52,8 +52,11 @@ class IVFFlatIndex(BaseIndex):
         self.exact = exact
         # dedup=True (default) uses the batch-deduped cluster-major kernel:
         # each probed bucket is DMA'd once per BATCH and it is exact within
-        # probed lists (no positional collapse) — strictly dominates the
-        # per-query streaming scan for batch > 1 (round-2 kernel)
+        # probed lists (no positional collapse). Its [n_slots, B, cap] f32
+        # score tensor grows with B*nprobe though (~3 GB at B=128 on a
+        # 1M/nlist=1024 index), so search() falls back to the streaming
+        # scan once the transient exceeds _DEDUP_BYTES_BUDGET (round-2
+        # advisor finding: HBM OOM risk at serving batch sizes)
         self.dedup = dedup
         self.dtype_name = dtype
         self.cap_factor = cap_factor
@@ -97,7 +100,7 @@ class IVFFlatIndex(BaseIndex):
             and self.metric == "ip"
             and jax.default_backend() not in ("cpu",)
         ):
-            if self.dedup:
+            if self.dedup and self._dedup_fits(q.shape[0]):
                 return ivf_search_dedup(
                     self._listing, q, k, nprobe=self.nprobe
                 )
@@ -105,6 +108,19 @@ class IVFFlatIndex(BaseIndex):
         return ivf_search(
             self._listing, q, k, nprobe=self.nprobe, metric=self.metric
         )
+
+    # HBM budget for the dedup kernel's [n_slots, B_pad, cap] f32 score
+    # tensor (plus the two [B, n_slots*cap] flat views it reshapes into)
+    _DEDUP_BYTES_BUDGET = 1 << 30  # 1 GB
+
+    def _dedup_fits(self, b: int) -> bool:
+        """True when the batch-dedup path's score transient fits the budget.
+        Large batches saturate the slot union (n_slots -> nlist) and would
+        materialize ~the whole padded corpus in f32."""
+        nlist, cap, _ = self._listing.buckets.shape
+        n_slots = min(nlist, b * self.nprobe)
+        b_pad = ((max(b, 8) + 7) // 8) * 8
+        return 3 * n_slots * b_pad * cap * 4 <= self._DEDUP_BYTES_BUDGET
 
     @property
     def imbalance(self) -> float:

@@ -330,6 +330,8 @@ def ngram_speculative_generate(
     gamma: int = 8,
     eos_token_id: int = -1,
     cache_len: Optional[int] = None,
+    inject_accept_p: Optional[float] = None,
+    inject_key: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Greedy decode with n-gram (prompt-lookup) self-speculation.
 
@@ -340,6 +342,17 @@ def ngram_speculative_generate(
     per call. RAG answers quote their retrieved context, so prompt-lookup
     acceptance is high exactly where the reference workload lives
     (reference hot loop: llm.py:343-350 emits one token per forward).
+
+    inject_accept_p: ACCEPTANCE-INJECTION benchmark mode (round-2 VERDICT
+    #1b). Real prompt-lookup acceptance is a property of the weights (k-bar
+    ~ 1 on random weights), so to measure the ms/token-vs-acceptance curve
+    without real checkpoints the per-draft accept decision is replaced by a
+    Bernoulli(p) draw. The verify-window device cost per call is
+    byte-identical to real speculation and the loop structure (commits per
+    call -> iteration count) matches real acceptance at rate p, so the
+    TIMING curve is the real one. BENCHMARK-ONLY: forced accepts keep KV
+    entries computed from draft tokens, so emitted text is not greedy-
+    identical in this mode (it is in the default mode, which is tested).
 
     Returns (tokens [B, max_new_tokens] eos-padded, mean_tokens_per_call f32).
     """
@@ -390,8 +403,17 @@ def ngram_speculative_generate(
         window = jnp.concatenate([last[:, None], drafts], axis=1)  # [B, g+1]
         logits, new_cache = qwen_extend(params, cfg, window, cache)
         targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, g+1]
-        # accepted prefix: drafts[j] == targets[j] for all j' <= j
-        ok = drafts == targets[:, :-1]  # [B, gamma]
+        if inject_accept_p is not None:
+            # synthetic Bernoulli(p) accept per draft slot: measures the
+            # acceptance->latency curve; commits stay greedy-correct
+            kit = jax.random.fold_in(
+                inject_key if inject_key is not None else jax.random.key(0),
+                it,
+            )
+            ok = jax.random.uniform(kit, (b, gamma)) < inject_accept_p
+        else:
+            # accepted prefix: drafts[j] == targets[j] for all j' <= j
+            ok = drafts == targets[:, :-1]  # [B, gamma]
         n_acc = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)
         # committed tokens = targets[0..n_acc]; truncate at first eos
         j = jnp.arange(gamma + 1, dtype=jnp.int32)[None]

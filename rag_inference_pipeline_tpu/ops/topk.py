@@ -409,6 +409,14 @@ def fused_topk_int8(
 INT32_MIN = -(2**31) + 1
 
 
+def int8_mm_bf16_ok(d: int) -> bool:
+    """True when the bf16-upcast MXU matmul is BIT-EXACT for int8 operands
+    of dimension d: every |product| <= 127^2 is exact in the f32 accumulator
+    and |sum| <= d*127^2 must stay below 2^24 (f32 mantissa) — beyond that
+    the 'exact int scores' claim silently becomes approximate."""
+    return d * 127 * 127 < 2**24
+
+
 def quantize_global_int8(
     x: jax.Array, *, clip_pct: float = 99.9
 ) -> tuple[jax.Array, jax.Array]:
@@ -432,13 +440,15 @@ def quantize_global_int8(
 
 
 def _binmax_kernel_int8gs(
-    q_ref, db_ref, nrows_ref, vals_ref, steps_ref, *, nbins, chunk, nsteps,
+    q_ref, db_ref, nrows_ref, vals_ref, steps_ref, *, nbins, chunk,
     mm_bf16=False,
 ):
     """Global-scale int8 grid step. Accumulators live in the int32 domain:
     vals [B, nbins] i32 running bin max, steps [B, nbins] i32 running
-    sub-block id of that max (row = step * nbins + bin_column). Only the
-    final grid step pays the padded-tail mask; every other step is
+    sub-block id of that max (row = step * nbins + bin_column). Only grid
+    steps whose chunk extends past `nrows` pay the padded-tail mask (a
+    dynamic pl.when on the SMEM row count — so per-shard true row counts
+    can be traced values under shard_map); every full chunk is just
     matmul + compare + two selects per sub-block.
 
     mm_bf16: upcast the int8 operands to bf16 and matmul at the bf16 MXU
@@ -479,14 +489,16 @@ def _binmax_kernel_int8gs(
         step = i * sub + j
         steps_ref[:] = jnp.where(better, step, steps_ref[:])
 
-    @pl.when(i < nsteps - 1)
+    nrows = nrows_ref[0, 0]
+    full = (i + 1) * chunk <= nrows  # this chunk is all real rows
+
+    @pl.when(full)
     def _body():
         for j in range(sub):
             update(j, scores(j))
 
-    @pl.when(i == nsteps - 1)
-    def _last():
-        nrows = nrows_ref[0, 0]
+    @pl.when(jnp.logical_not(full))
+    def _partial():
         col = jax.lax.broadcasted_iota(jnp.int32, (b, nbins), 1)
         for j in range(sub):
             s = scores(j)
@@ -508,6 +520,9 @@ def binmax_partial_topk_int8gs(
     """Global-scale int8 partial top-k. Returns (vals [B,nbins] i32 raw
     int-domain scores, idxs [B,nbins] i32 global row ids, -1 = empty bin).
 
+    `ntotal` (true row count, rows past it masked) may be a python int or a
+    TRACED scalar — per-shard row counts under shard_map are traced.
+
     PERF: pre-pad the DB to a `chunk` multiple at BUILD time and pass
     `ntotal` = true row count. An unaligned DB forces a jnp.pad inside the
     jitted program, which copies the ENTIRE array every call — measured
@@ -523,11 +538,12 @@ def binmax_partial_topk_int8gs(
     if n_pad != n:
         db_i8 = jnp.pad(db_i8, ((0, n_pad - n), (0, 0)))
     n_chunks = n_pad // chunk
-    nrows = jnp.array([[min(ntotal or n, n)]], dtype=jnp.int32)
+    if ntotal is None:
+        ntotal = n
+    nrows = jnp.minimum(jnp.asarray(ntotal, jnp.int32), n).reshape(1, 1)
 
     kern = functools.partial(
-        _binmax_kernel_int8gs, nbins=nbins, chunk=chunk, nsteps=n_chunks,
-        mm_bf16=mm_bf16,
+        _binmax_kernel_int8gs, nbins=nbins, chunk=chunk, mm_bf16=mm_bf16,
     )
     vals, steps = pl.pallas_call(
         kern,
@@ -563,7 +579,7 @@ def binmax_partial_topk_int8gs(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "nbins", "chunk", "interpret", "rescore_k", "ntotal", "mm_bf16"
+        "k", "nbins", "chunk", "interpret", "rescore_k", "mm_bf16"
     ),
 )
 def fused_topk_int8gs(
@@ -577,7 +593,9 @@ def fused_topk_int8gs(
     interpret: bool = False,
     rescore_db: Optional[jax.Array] = None,  # [N, D] full-precision rows
     rescore_k: int = 0,
-    ntotal: Optional[int] = None,  # true rows when db_i8 is chunk-padded
+    # true rows when db_i8 is chunk-padded; int or traced scalar (dynamic
+    # operand so shard_map can pass per-shard row counts)
+    ntotal: Optional[jax.typing.ArrayLike] = None,
     mm_bf16: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Global-scale quantized flat search: int8 scan (int32-domain compare)
@@ -694,28 +712,41 @@ def sharded_topk_int8gs(
 ) -> tuple[jax.Array, jax.Array]:
     """dp-sharded global-scale int8 scan + per-shard bf16 rescore + all-gather
     merge — the sharded twin of fused_topk_int8gs (the headline index config,
-    now usable inside the fused device pipeline; VERDICT round-1 item #8)."""
+    now also the FlatIndex int8 + mesh.dp>1 serving path).
+
+    Each shard passes its own true row count into the kernel, so
+    even-sharding pad rows (zero vectors, int8 score 0) are masked to
+    INT32_MIN *inside* the bins and can never displace a real
+    negative-scoring candidate. Pre-align shard row counts to a `chunk`
+    multiple at build time (FlatIndex does) — an unaligned shard pays a
+    whole-shard jnp.pad copy per call."""
     n_rows = db_i8_sharded.shape[0]
     n_real = ntotal if ntotal is not None else n_rows
     dp = ctx.dp
     shard_rows = n_rows // dp
+    d = db_i8_sharded.shape[1]
 
     use_rescore = rescore_db_sharded is not None
     if not use_rescore:
         rescore_db_sharded = db_i8_sharded  # placeholder operand, unused
 
     def local(q, db_i8_local, rdb_local):
+        shard = jax.lax.axis_index(DP_AXIS)
+        # rows this shard actually owns (last shard carries the pad tail)
+        local_rows = jnp.clip(n_real - shard * shard_rows, 0, shard_rows)
         s, i = fused_topk_int8gs(
             q, db_i8_local, db_scale, k,
             nbins=nbins, chunk=chunk, interpret=interpret,
             rescore_db=rdb_local if use_rescore else None,
             rescore_k=rescore_k if use_rescore else 0,
-            mm_bf16=True,  # bit-exact, ~6% faster on v5e (ablate4)
+            ntotal=local_rows,
+            # bf16-upcast matmul: bit-exact for d <= ~1040 and ~6% faster
+            # on v5e (ablate4); integer dot path beyond the exactness bound
+            mm_bf16=int8_mm_bf16_ok(d),
         )
-        shard = jax.lax.axis_index(DP_AXIS)
-        valid = i >= 0  # empty bins / masked candidates stay -1
+        valid = i >= 0  # empty bins / in-kernel-masked candidates stay -1
         gid = i + shard * shard_rows
-        keep = valid & (gid < n_real)  # also drops even-sharding pad rows
+        keep = valid & (gid < n_real)
         s = jnp.where(keep, s, NEG_INF)
         gid = jnp.where(keep, gid, -1)
         s_all = jax.lax.all_gather(s, DP_AXIS, axis=1, tiled=True)

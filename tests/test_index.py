@@ -231,3 +231,90 @@ class TestIVFExactKnob:
             )
 
         assert recall(True) >= recall(False) - 1e-9
+
+
+class TestShardedInt8Flat:
+    """FlatIndex int8 + mesh.dp>1 routes through sharded_topk_int8gs at the
+    index layer (round-2 VERDICT #3) — previously only the fused pipeline
+    honored the mesh for the headline index config."""
+
+    def test_sharded_int8_matches_unsharded(self, rng, mesh_dp8):
+        db = rng.standard_normal((2048, 64)).astype(np.float32)
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        q = db[:4] + 0.05 * rng.standard_normal((4, 64)).astype(np.float32)
+        k = 5
+
+        solo = FlatIndex(64, dtype="int8", nbins=512, chunk=512)
+        solo.add(db)
+        _, i_solo = solo.search(q, k)
+
+        shard = FlatIndex(64, dtype="int8", nbins=512, chunk=512, mesh=mesh_dp8)
+        shard.add(db)
+        # 2048 rows pad to chunk_i8*dp = 8192: most shards are pure padding
+        assert shard._db_i8.shape[0] == 8192
+        assert shard.ntotal == 2048
+        _, i_sh = shard.search(q, k)
+
+        oi = oracle_ids(q, db, k)
+        rec = np.mean(
+            [len(set(np.asarray(i_sh)[b]) & set(oi[b])) / k for b in range(4)]
+        )
+        assert rec >= 0.9
+        # sharded and unsharded agree after the exact bf16 re-score
+        np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_solo))
+
+    def test_sharded_int8_all_negative_scores(self, rng, mesh_dp8):
+        """Zero pad rows score 0 in the int32 domain; with every true score
+        negative they would win bins and then be masked away, silently
+        dropping real candidates (round-2 advisor finding). The per-shard
+        ntotal now masks them to INT32_MIN inside the kernel."""
+        q = np.abs(rng.standard_normal((2, 16))).astype(np.float32)
+        db = -np.abs(rng.standard_normal((99, 16))).astype(np.float32)
+        idx = FlatIndex(16, dtype="int8", nbins=128, chunk=128, mesh=mesh_dp8)
+        idx.add(db)
+        s, i = idx.search(q, 5)
+        i = np.asarray(i)
+        assert (i >= 0).all() and (i < 99).all()
+        assert (np.asarray(s) < 0).all()  # pad-row zeros never leak through
+        np.testing.assert_array_equal(i[:, :1], oracle_ids(q, db, 1))
+
+    def test_sharded_int8_save_load(self, rng, mesh_dp8, tmp_path):
+        db = rng.standard_normal((1024, 64)).astype(np.float32)
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        solo = FlatIndex(64, dtype="int8", nbins=512, chunk=512)
+        solo.add(db)
+        p = str(tmp_path / "i8.npz")
+        solo.save(p)
+        q = db[:3]
+        _, i_solo = solo.search(q, 5)
+        loaded = BaseIndex.load(p, mesh=mesh_dp8)
+        assert loaded._db_i8.sharding.spec[0] is not None  # rows dp-sharded
+        _, i_sh = loaded.search(q, 5)
+        np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_solo))
+
+    def test_rescore_stays_on_at_large_k(self, rng):
+        """k >= rescore_k must deepen the shortlist instead of silently
+        disabling the exact re-score (round-2 advisor finding)."""
+        db = rng.standard_normal((2048, 64)).astype(np.float32)
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        q = db[:4] + 0.05 * rng.standard_normal((4, 64)).astype(np.float32)
+        idx = FlatIndex(64, dtype="int8", nbins=512, chunk=512, rescore_k=64)
+        idx.add(db)
+        k = 64  # == rescore_k: old gate would turn rescore off
+        _, ids = idx.search(q, k)
+        oi = oracle_ids(q, db, k)
+        rec = np.mean(
+            [len(set(np.asarray(ids)[b]) & set(oi[b])) / k for b in range(4)]
+        )
+        assert rec >= 0.95
+
+
+class TestIVFDedupGate:
+    def test_dedup_fits_gate(self, rng):
+        x = rng.standard_normal((4096, 32)).astype(np.float32)
+        idx = IVFFlatIndex(32, 64, nprobe=32)
+        idx.train_add(x, train_size=2000)
+        assert idx._dedup_fits(2)  # small batch: cheap union
+        # force a tiny budget: serving-size batch must fall back
+        idx._DEDUP_BYTES_BUDGET = 1 << 16
+        assert not idx._dedup_fits(128)

@@ -186,3 +186,43 @@ class TestSpeculativeEdges:
             params, cfg, ids, mask, 6, gamma=3, eos_token_id=-1, cache_len=24
         )
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+class TestAcceptanceInjection:
+    """inject_accept_p benchmark mode (round-2 VERDICT #1b): the timing
+    harness must emit the right NUMBER of tokens and show commits-per-call
+    rising with p — the text itself is allowed to diverge (forced accepts
+    keep draft-token KV; documented benchmark-only semantics)."""
+
+    def test_injection_commits_scale_with_p(self, tiny, rng):
+        cfg, params = tiny
+        ids, mask = _prompts(rng, cfg, 2, 16, min_len=16)
+        max_new = 24
+        kbars = {}
+        for p in (0.0, 0.9):
+            toks, kbar = ngram_speculative_generate(
+                params, cfg, ids, mask, max_new, gamma=4,
+                eos_token_id=-1, cache_len=16 + max_new,
+                inject_accept_p=p, inject_key=jax.random.key(3),
+            )
+            assert toks.shape == (2, max_new)
+            kbars[p] = float(kbar)
+        assert kbars[0.0] == pytest.approx(1.0)  # no accepts: 1 token/call
+        assert kbars[0.9] > 2.0  # high accept rate commits multi-token
+
+    def test_injection_p0_token_identical_to_greedy(self, tiny, rng):
+        """p=0 never keeps a draft, so no cache pollution is possible and
+        the output must equal greedy exactly."""
+        cfg, params = tiny
+        ids, mask = _prompts(rng, cfg, 2, 16, min_len=16)
+        max_new = 16
+        g = np.asarray(greedy_generate(
+            params, cfg, ids, mask, max_new, eos_token_id=-1,
+            cache_len=16 + max_new,
+        ))
+        s, _ = ngram_speculative_generate(
+            params, cfg, ids, mask, max_new, gamma=4, eos_token_id=-1,
+            cache_len=16 + max_new, inject_accept_p=0.0,
+            inject_key=jax.random.key(3),
+        )
+        np.testing.assert_array_equal(np.asarray(s), g)
