@@ -208,8 +208,11 @@ class Settings(BaseModel):
                 f"index_dim ({self.index_dim}) must be divisible by "
                 f"index_pq_m ({self.index_pq_m})"
             )
-        if self.index_pq_bits != 8:
-            raise ValueError("only 8-bit PQ codes are supported")
+        if self.index_pq_bits not in (4, 8):
+            raise ValueError(
+                "index_pq_bits must be 4 (PQ4 one-hot MXU ADC, ksub=16 — "
+                "double index_pq_m for equal bits/row) or 8 (PQ8, ksub=256)"
+            )
         return self
 
     # --- computed properties (reference :413-445) ---

@@ -100,6 +100,39 @@ class IndexComponent:
         return self.index is not None and self.index.is_loaded
 
 
+# profile component-config key -> Settings field for the index component
+# (reference analog: per-component config dicts in profile YAMLs,
+# profile_schema.py:6-44 — previously parsed but never applied here)
+_INDEX_CFG_KEYS = {
+    "kind": "index_kind",
+    "path": "index_path",
+    "metric": "index_metric",
+    "dtype": "index_dtype",
+    "nlist": "index_nlist",
+    "nprobe": "index_nprobe",
+    "pq_m": "index_pq_m",
+    "pq_bits": "index_pq_bits",
+    "rescore_k": "index_rescore_k",
+    "pq_rescore_k": "index_pq_rescore_k",
+}
+
+
+def _index_settings(settings: Settings, spec) -> Settings:
+    """Apply a profile's per-component index config (e.g. {kind: ivf_pq,
+    pq_bits: 4}) over the env settings, re-validated."""
+    if not spec.config:
+        return settings
+    unknown = set(spec.config) - set(_INDEX_CFG_KEYS)
+    if unknown:
+        raise ValueError(
+            f"unknown index config keys {sorted(unknown)}; "
+            f"allowed: {sorted(_INDEX_CFG_KEYS)}"
+        )
+    upd = {_INDEX_CFG_KEYS[k]: v for k, v in spec.config.items()}
+    merged = settings.model_copy(update=upd)
+    return Settings(**merged.model_dump())  # re-run validators/coercion
+
+
 def build_registry(
     settings: Settings,
     profile: Profile,
@@ -131,7 +164,9 @@ def build_registry(
         elif t is ComponentType.EMBEDDER:
             registry.register(name, EmbedderComponent(settings, mesh_ctx))
         elif t is ComponentType.INDEX:
-            registry.register(name, IndexComponent(settings, mesh_ctx))
+            registry.register(
+                name, IndexComponent(_index_settings(settings, spec), mesh_ctx)
+            )
         elif t is ComponentType.DOC_STORE:
             registry.register(name, DocumentStore(settings))
         elif t is ComponentType.RERANKER:

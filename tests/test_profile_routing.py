@@ -195,3 +195,48 @@ class TestAllProfilesLoadAndMount:
             assert h["status"] in ("ok", "degraded"), name
 
         run_profile(name, check)
+
+
+class TestIndexConfigApplied:
+    """Profile per-component index config must actually reach the index
+    (it was parsed-but-decorative until round 3) — incl. the PQ4 wiring."""
+
+    def test_profile_kind_override_builds_that_kind(self):
+        from rag_inference_pipeline_tpu.core import Settings
+        from rag_inference_pipeline_tpu.core.profiles import load_role_profile
+        from rag_inference_pipeline_tpu.index import IVFPQIndex, make_index
+        from rag_inference_pipeline_tpu.serve.factory import _index_settings
+
+        s = Settings(index_dim=64, index_pq_m=8)
+        prof = load_role_profile(
+            Settings(pipeline_role_profile="retrieval_pq4")
+        )
+        spec = next(c for c in prof.components if c.type.value == "index")
+        s2 = _index_settings(s, spec)
+        assert s2.index_kind.value == "ivf_pq"
+        assert s2.index_pq_bits == 4
+        idx = make_index(s2)
+        assert isinstance(idx, IVFPQIndex) and idx.ksub == 16
+
+    def test_unknown_index_config_key_rejected(self):
+        import pytest
+
+        from rag_inference_pipeline_tpu.core import Settings
+        from rag_inference_pipeline_tpu.core.profiles import ComponentSpec
+        from rag_inference_pipeline_tpu.core.enums import ComponentType
+        from rag_inference_pipeline_tpu.serve.factory import _index_settings
+
+        spec = ComponentSpec(
+            type=ComponentType.INDEX, config={"nonsense": 1}
+        )
+        with pytest.raises(ValueError, match="unknown index config"):
+            _index_settings(Settings(), spec)
+
+    def test_pq_bits_validator(self):
+        import pytest
+
+        from rag_inference_pipeline_tpu.core import Settings
+
+        assert Settings(index_pq_bits=4).index_pq_bits == 4
+        with pytest.raises(ValueError, match="index_pq_bits"):
+            Settings(index_pq_bits=5)
