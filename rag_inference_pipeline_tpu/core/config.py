@@ -115,6 +115,9 @@ class Settings(BaseModel):
     # retrieved context (models/qwen.py::ngram_speculative_generate)
     use_speculative_decoding: bool = False
     speculative_gamma: int = 8
+    # verify rounds per engine segment when the decode engine and
+    # speculation are BOTH enabled (engine/decode_engine.py::_segment_spec)
+    speculative_rounds: int = 2
 
     # --- payload / compression (reference :205-223) ---
     documents_payload_mode: PayloadMode = PayloadMode.FULL

@@ -32,7 +32,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.layers import KVCache
-from ..models.qwen import QwenConfig, qwen_decode_step, qwen_prefill
+from ..models.qwen import (
+    QwenConfig,
+    bigram_draft,
+    qwen_decode_step,
+    qwen_extend,
+    qwen_prefill,
+)
 from ..utils.shapes import pick_bucket
 
 logger = logging.getLogger(__name__)
@@ -41,10 +47,7 @@ logger = logging.getLogger(__name__)
 # -- jitted cores ----------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "eos"), donate_argnums=(1, 4)
-)
-def _admit(
+def _admit_impl(
     params,
     cache: KVCache,  # [L, lanes, S, ...] pool cache (donated)
     tokens,  # [lanes] last token per lane
@@ -74,6 +77,50 @@ def _admit(
     done = done.at[lane_ids].set(first == eos, mode="drop")
     emit_buf = emit_buf.at[lane_ids, 0].set(first, mode="drop")
     return KVCache(k=k, v=v, length=length), tokens, done, emit_buf
+
+
+_admit = functools.partial(
+    jax.jit, static_argnames=("cfg", "eos"), donate_argnums=(1, 4)
+)(_admit_impl)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "eos", "pcap"), donate_argnums=(1, 4)
+)
+def _admit_spec(
+    params,
+    cache: KVCache,  # donated
+    tokens,
+    done,
+    emit_buf,  # donated
+    prompt_ids,  # [A, P]
+    prompt_mask,  # [A, P]
+    lane_ids,  # [A]
+    counts,  # [lanes] i32 committed-token counts (donated)
+    limits,  # [lanes] i32 per-lane max_new_tokens
+    prompts,  # [lanes, pcap] i32 draft-source prompt rows
+    prompt_len,  # [lanes] i32
+    max_new,  # [A] i32
+    *,
+    cfg: QwenConfig,
+    eos: int,
+    pcap: int,
+):
+    """Speculative-mode admit: plain admit + scatter the per-lane draft
+    context (prompt rows, lengths) and emission accounting (counts, limits)
+    that the speculative segments keep device-resident."""
+    cache, tokens, done, emit_buf = _admit_impl(
+        params, cache, tokens, done, emit_buf,
+        prompt_ids, prompt_mask, lane_ids, cfg=cfg, eos=eos,
+    )
+    a, p = prompt_ids.shape
+    padded = jnp.pad(prompt_ids, ((0, 0), (0, pcap - p)))
+    prompts = prompts.at[lane_ids].set(padded, mode="drop")
+    plen = jnp.sum(prompt_mask, axis=1).astype(jnp.int32)
+    prompt_len = prompt_len.at[lane_ids].set(plen, mode="drop")
+    counts = counts.at[lane_ids].set(1, mode="drop")
+    limits = limits.at[lane_ids].set(max_new, mode="drop")
+    return cache, tokens, done, emit_buf, counts, limits, prompts, prompt_len
 
 
 @functools.partial(
@@ -118,6 +165,113 @@ def _segment(
     return cache, tokens, done, emit_buf
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "rounds", "gamma", "eos", "inject_accept_p"),
+    # counts ([lanes] i32) is NOT donated: with pipelined dispatch the
+    # previous segment's counts array is still awaiting its _process_done
+    # fetch when the next segment runs — donation would delete it
+    donate_argnums=(1, 4),
+)
+def _segment_spec(
+    params,
+    cache: KVCache,  # donated
+    tokens,  # [lanes] last committed token
+    done,  # [lanes] bool
+    emit_buf,  # [lanes, W] i32 (donated)
+    counts,  # [lanes] i32 committed-token counts (donated)
+    limits,  # [lanes] i32 per-lane max_new_tokens
+    prompts,  # [lanes, pcap] i32 draft-source prompt rows
+    prompt_len,  # [lanes] i32
+    it0,  # scalar i32 — verify-round counter base (inject-mode keys)
+    *,
+    cfg: QwenConfig,
+    rounds: int,
+    gamma: int,
+    eos: int,
+    inject_accept_p: Optional[float] = None,
+):
+    """Speculative decode segment: `rounds` verify windows per lane instead
+    of per-token steps (round-2 VERDICT #6 — engine + speculation compose).
+
+    Each round drafts `gamma` tokens per lane by bigram prompt lookup
+    (models/qwen.py::bigram_draft — RAG answers quote their context, so
+    prompt-lookup acceptance is high on the reference workload, reference
+    llm.py:343-350), verifies all lanes with ONE qwen_extend call (gamma+1
+    extra MXU columns ride along nearly free on a weight-bound decode), and
+    commits the per-lane accepted prefix into the device emission buffer.
+    Commit counts vary per lane per round, so emission offsets (`counts`)
+    are device-resident and fetched with `done` once per segment — the
+    host-tracked `written` bookkeeping of the plain segment does not apply.
+
+    Committed tokens are always the model's own greedy argmaxes — token
+    output is identical to greedy_generate (tested). inject_accept_p
+    replaces the accept decision with a Bernoulli(p) draw for the
+    acceptance->latency curve (benchmark-only; same device cost per round,
+    commits no longer greedy-identical — see ngram_speculative_generate).
+    """
+    lanes = tokens.shape[0]
+    s = cache.k.shape[2]
+    w = emit_buf.shape[1]
+    draft_fn = functools.partial(bigram_draft, gamma=gamma)
+    lane_iota = jnp.arange(lanes, dtype=jnp.int32)
+
+    for r in range(rounds):
+        prev = jnp.where(
+            counts >= 2,
+            emit_buf[lane_iota, jnp.maximum(counts - 2, 0)],
+            tokens,
+        )
+        drafts = jax.vmap(draft_fn)(
+            prompts, prompt_len, jnp.stack([prev, tokens], axis=1)
+        )  # [lanes, gamma]
+        window = jnp.concatenate([tokens[:, None], drafts], axis=1)
+        logits, ext = qwen_extend(params, cfg, window, cache)
+        targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [lanes, g+1]
+        if inject_accept_p is not None:
+            kit = jax.random.fold_in(jax.random.key(0), it0 + r)
+            ok = jax.random.uniform(kit, (lanes, gamma)) < inject_accept_p
+        else:
+            ok = drafts == targets[:, :-1]
+        n_acc = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)
+        j = jnp.arange(gamma + 1, dtype=jnp.int32)[None]
+        within = j <= n_acc[:, None]
+        is_eos = (targets == eos) & within
+        any_eos = jnp.any(is_eos, axis=1)
+        eos_at = jnp.argmax(is_eos, axis=1)
+        commit = jnp.where(any_eos, eos_at + 1, n_acc + 1)
+        commit = jnp.where(done, 0, commit)
+        commit = jnp.minimum(commit, jnp.maximum(limits - counts, 0))
+        any_eos = jnp.logical_and(any_eos, ~done)
+
+        # targets[0..commit) -> emit_buf[lane, counts..]; masked writes land
+        # on the scratch column w-1 (never a real slot: counts stays < limits
+        # <= cache_len - 2 < w - 1)
+        def write(row, tgt, start, cnt):
+            for jj in range(gamma + 1):
+                dst = jnp.where(jj < cnt, start + jj, w - 1)
+                row = jax.lax.dynamic_update_slice(row, tgt[jj : jj + 1], (dst,))
+            return row
+
+        emit_buf = jax.vmap(write)(emit_buf, targets, counts, commit)
+        # roll the cache back to the committed prefix (stale KV beyond
+        # `length` is never attended; qwen_extend advanced it by gamma+1)
+        new_len = cache.length + jnp.minimum(commit, n_acc + 1)
+        cache = KVCache(k=ext.k, v=ext.v, length=new_len)
+        new_last = targets[lane_iota, jnp.clip(commit - 1, 0, gamma)]
+        tokens = jnp.where(commit > 0, new_last, tokens)
+        counts = counts + commit
+        # the s - (gamma+1) guard keeps the NEXT round's extend window
+        # in-bounds (dynamic_update_slice would clamp and overwrite live KV)
+        done = (
+            done
+            | any_eos
+            | (counts >= limits)
+            | (new_len >= s - (gamma + 1))
+        )
+    return cache, tokens, done, emit_buf, counts
+
+
 # -- engine ----------------------------------------------------------------
 
 
@@ -146,6 +300,10 @@ class DecodeEngine:
         prefill_buckets: tuple[int, ...] = (64, 128, 256),
         pipeline_segments: bool = True,
         mesh=None,  # MeshContext: TP-shard the lane KV pool with the params
+        speculative: bool = False,
+        gamma: int = 8,
+        spec_rounds: int = 2,
+        inject_accept_p: Optional[float] = None,  # benchmark-only (see _segment_spec)
     ) -> None:
         # pipeline_segments: dispatch segment N+1 before the host has seen
         # segment N's `done` flags (the fetch rides alongside the next
@@ -164,8 +322,15 @@ class DecodeEngine:
         self.eos = eos_token_id
         self.admit_buckets = tuple(b for b in admit_buckets if b <= lanes) or (1,)
         self.prefill_buckets = prefill_buckets
+        self.speculative = speculative
+        self.gamma = gamma
+        self.spec_rounds = spec_rounds
+        self.inject_accept_p = inject_accept_p
+        # speculative segments place a gamma+1 verify window before rollback;
+        # the extra headroom keeps logical capacity equal to plain mode
+        s_alloc = cache_len + (gamma + 1 if speculative else 0)
         self.cache = KVCache.zeros(
-            cfg.layers, lanes, cache_len, cfg.kv_heads, cfg.head_dim,
+            cfg.layers, lanes, s_alloc, cfg.kv_heads, cfg.head_dim,
             dtype=jnp.bfloat16 if params["embed"].dtype == jnp.bfloat16 else jnp.float32,
         )
         if mesh is not None and mesh.n_devices > 1:
@@ -188,7 +353,19 @@ class DecodeEngine:
         # + segment_steps headroom: the final segment may overrun written by
         # up to steps-1 positions; without it the offset clip in _segment
         # would shift the last write left over valid tokens
-        self.emit_buf = jnp.zeros((lanes, cache_len + segment_steps), jnp.int32)
+        self.emit_buf = jnp.zeros(
+            (lanes, cache_len + max(segment_steps, gamma + 2)), jnp.int32
+        )
+        if speculative:
+            # device-resident emission accounting + draft context: commit
+            # counts vary per lane per verify round, so offsets cannot be
+            # host-tracked like the plain segment's `written`
+            self.counts = jnp.zeros((lanes,), jnp.int32)
+            self.limits = jnp.zeros((lanes,), jnp.int32)
+            self._pcap = cache_len
+            self.prompts = jnp.zeros((lanes, self._pcap), jnp.int32)
+            self.prompt_len = jnp.zeros((lanes,), jnp.int32)
+            self._spec_it = 0
         self._lane_req: list[Optional[_Request]] = [None] * lanes
         self._waiting: asyncio.Queue[_Request] = asyncio.Queue()
         self._loop_task: Optional[asyncio.Task] = None
@@ -271,6 +448,12 @@ class DecodeEngine:
         # drain on stop: resolve in-flight lanes with what they produced
         if pending is not None:
             self._process_done(*pending)
+        if self.speculative and any(r is not None for r in self._lane_req):
+            # device commit counts are authoritative; sync before collecting
+            counts_np = np.asarray(self.counts)
+            for lane, r in enumerate(self._lane_req):
+                if r is not None:
+                    r.written = int(counts_np[lane])
         for lane, r in enumerate(self._lane_req):
             if r is not None and not r.future.done():
                 r.future.set_result(self._collect(lane, r))
@@ -318,11 +501,26 @@ class DecodeEngine:
             lanes[j] = r.lane
         mask[len(batch):, 0] = 1  # keep position math valid on pad rows
         ids[len(batch):, 0] = 1
-        self.cache, self.tokens, self.done, self.emit_buf = _admit(
-            self.params, self.cache, self.tokens, self.done, self.emit_buf,
-            jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(lanes),
-            cfg=self.cfg, eos=self.eos,
-        )
+        if self.speculative:
+            max_new = np.zeros((a,), np.int32)
+            for j, r in enumerate(batch):
+                max_new[j] = r.max_new_tokens
+            (
+                self.cache, self.tokens, self.done, self.emit_buf,
+                self.counts, self.limits, self.prompts, self.prompt_len,
+            ) = _admit_spec(
+                self.params, self.cache, self.tokens, self.done,
+                self.emit_buf, jnp.asarray(ids), jnp.asarray(mask),
+                jnp.asarray(lanes), self.counts, self.limits, self.prompts,
+                self.prompt_len, jnp.asarray(max_new),
+                cfg=self.cfg, eos=self.eos, pcap=self._pcap,
+            )
+        else:
+            self.cache, self.tokens, self.done, self.emit_buf = _admit(
+                self.params, self.cache, self.tokens, self.done, self.emit_buf,
+                jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(lanes),
+                cfg=self.cfg, eos=self.eos,
+            )
         for r in batch:
             r.written = 1  # the first (prefill-argmax) token is in the buffer
             self._lane_req[r.lane] = r
@@ -330,35 +528,58 @@ class DecodeEngine:
 
     def _dispatch_segment(self):
         """Dispatch one decode segment (no host sync) and start the async
-        done-flag fetch. Returns (done_dev, snapshot) for _process_done."""
-        offsets = np.zeros((self.lanes,), np.int32)
-        for lane, req in enumerate(self._lane_req):
-            if req is not None:
-                offsets[lane] = req.written
-        self.cache, self.tokens, self.done, self.emit_buf = _segment(
-            self.params, self.cache, self.tokens, self.done, self.emit_buf,
-            jnp.asarray(offsets),
-            cfg=self.cfg, steps=self.segment_steps, eos=self.eos,
-        )
+        done-flag fetch. Returns (done_dev, counts_dev, snapshot) for
+        _process_done (counts_dev is None outside speculative mode)."""
+        counts_dev = None
+        if self.speculative:
+            it0 = self._spec_it
+            self._spec_it += self.spec_rounds
+            (
+                self.cache, self.tokens, self.done, self.emit_buf, self.counts
+            ) = _segment_spec(
+                self.params, self.cache, self.tokens, self.done,
+                self.emit_buf, self.counts, self.limits, self.prompts,
+                self.prompt_len, jnp.int32(it0),
+                cfg=self.cfg, rounds=self.spec_rounds, gamma=self.gamma,
+                eos=self.eos, inject_accept_p=self.inject_accept_p,
+            )
+            counts_dev = self.counts
+        else:
+            offsets = np.zeros((self.lanes,), np.int32)
+            for lane, req in enumerate(self._lane_req):
+                if req is not None:
+                    offsets[lane] = req.written
+            self.cache, self.tokens, self.done, self.emit_buf = _segment(
+                self.params, self.cache, self.tokens, self.done, self.emit_buf,
+                jnp.asarray(offsets),
+                cfg=self.cfg, steps=self.segment_steps, eos=self.eos,
+            )
         snapshot = []
         for lane, req in enumerate(self._lane_req):
             if req is not None:
-                req.written += self.segment_steps
+                if not self.speculative:
+                    req.written += self.segment_steps
                 snapshot.append((lane, req))
         done_dev = self.done
         try:
             done_dev.copy_to_host_async()
+            if counts_dev is not None:
+                counts_dev.copy_to_host_async()
         except Exception:  # noqa: BLE001 — hint only; asarray still works
             pass
-        return done_dev, snapshot
+        return done_dev, counts_dev, snapshot
 
-    def _process_done(self, done_dev, snapshot) -> None:
+    def _process_done(self, done_dev, counts_dev, snapshot) -> None:
         """Resolve completions for a previously dispatched segment. With
         pipeline_segments this runs one segment behind the device."""
         done_np = np.asarray(done_dev)  # the only per-segment host fetch
+        counts_np = None if counts_dev is None else np.asarray(counts_dev)
         for lane, req in snapshot:
             if self._lane_req[lane] is not req:
                 continue  # already resolved (error path / stop drain)
+            if counts_np is not None:
+                # speculative mode: commit counts are device-authoritative
+                req.written = int(counts_np[lane])
             finished = done_np[lane] or req.written >= req.max_new_tokens
             if finished:
                 toks = self._collect(lane, req)

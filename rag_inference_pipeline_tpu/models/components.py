@@ -471,6 +471,11 @@ class LLMComponent:
             prefill_buckets=s.prefill_bucket_list,
             pipeline_segments=s.decode_pipeline_segments,
             mesh=self.mesh,  # TP-shard the lane KV pool alongside the params
+            # engine + speculation compose (round-2 VERDICT #6): verify
+            # windows replace per-token segment steps when both are enabled
+            speculative=s.use_speculative_decoding,
+            gamma=s.speculative_gamma,
+            spec_rounds=s.speculative_rounds,
         )
         await self.engine.start()
 

@@ -14,6 +14,7 @@ between scans without recompiling.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import NamedTuple, Optional
 
@@ -320,6 +321,26 @@ def qwen_extend(
     return _logits(params, cfg, x), cache
 
 
+def bigram_draft(ctx_row, plen, last2, *, gamma: int):
+    """Bigram prompt lookup: last occurrence of (last2[0], last2[1]) in the
+    prompt -> copy the following `gamma` tokens as the draft. No match ->
+    repeat last2[1] (cheap, fails fast at verify). Shared by the static
+    speculative path and the decode engine's speculative segments."""
+    tt = ctx_row.shape[0]
+    pos = jnp.arange(tt - 1, dtype=jnp.int32)
+    hit = (
+        (ctx_row[:-1] == last2[0])
+        & (ctx_row[1:] == last2[1])
+        & (pos + 1 < plen)
+    )
+    idx = jnp.max(jnp.where(hit, pos, -1))
+    start = jnp.clip(idx + 2, 0, tt - 1)
+    win = jax.lax.dynamic_slice_in_dim(ctx_row, start, min(gamma, tt))
+    if win.shape[0] < gamma:
+        win = jnp.pad(win, (0, gamma - win.shape[0]))
+    return jnp.where(idx >= 0, win, jnp.full((gamma,), last2[1]))
+
+
 def ngram_speculative_generate(
     params: dict,
     cfg: QwenConfig,
@@ -372,23 +393,7 @@ def ngram_speculative_generate(
     out0 = out0.at[:, 0].set(first)
     prompt_len = jnp.sum(attn_mask, axis=1).astype(jnp.int32)  # [B]
 
-    def draft_fn(ctx_row, plen, last2):
-        """Bigram prompt lookup: last occurrence of (last2[0], last2[1]) in
-        the prompt -> copy the following gamma tokens."""
-        tt = ctx_row.shape[0]
-        pos = jnp.arange(tt - 1, dtype=jnp.int32)
-        hit = (
-            (ctx_row[:-1] == last2[0])
-            & (ctx_row[1:] == last2[1])
-            & (pos + 1 < plen)
-        )
-        idx = jnp.max(jnp.where(hit, pos, -1))
-        start = jnp.clip(idx + 2, 0, tt - 1)
-        win = jax.lax.dynamic_slice_in_dim(ctx_row, start, min(gamma, tt))
-        if win.shape[0] < gamma:
-            win = jnp.pad(win, (0, gamma - win.shape[0]))
-        # no match -> draft the last token repeated (cheap, fails fast)
-        return jnp.where(idx >= 0, win, jnp.full((gamma,), last2[1]))
+    draft_fn = functools.partial(bigram_draft, gamma=gamma)
 
     def cond(state):
         _, _, n_out, _, done, it = state

@@ -28,6 +28,86 @@ import time
 from functools import partial
 
 
+def run_engine_ab(args, params, cfg, rng, results, cache_len) -> None:
+    """DecodeEngine A/B: plain per-token segments vs speculative verify
+    windows at each injected acceptance rate p (VERDICT round-2 #6 done
+    criterion: spec engine ms/token at p=0.7 ~ 1/k-bar of plain segments).
+    Same request set both sides; wall-clock over the drained batch."""
+    import asyncio
+    import json as _json
+    import os as _os
+    import time as _time
+
+    import numpy as np
+
+    from rag_inference_pipeline_tpu.engine.decode_engine import DecodeEngine
+
+    t, max_new = args.prompt_len, args.max_new
+    prompts = [
+        rng.integers(1, 1000, (t,)).astype(np.int32)
+        for _ in range(args.requests)
+    ]
+    eos = -1  # never fires: full max_new budget per request
+
+    def drain(eng):
+        async def run_all():
+            await eng.start()
+            try:
+                return await asyncio.gather(
+                    *(eng.submit(p, max_new) for p in prompts)
+                )
+            finally:
+                await eng.stop()
+        return asyncio.new_event_loop().run_until_complete(run_all())
+
+    def timed(make):
+        drain(make())  # compile + warm
+        eng = make()
+        t0 = _time.time()
+        outs = drain(eng)
+        dt = _time.time() - t0
+        n_tok = sum(len(o) for o in outs)
+        return dt, n_tok
+
+    common = dict(
+        lanes=args.lanes, cache_len=cache_len, eos_token_id=eos,
+        admit_buckets=(1, 2, 4, 8), prefill_buckets=(64, 128, 256, 512),
+    )
+    if args.smoke:
+        common["prefill_buckets"] = (8, 16, 32)
+
+    dt, n_tok = timed(lambda: DecodeEngine(
+        params, cfg, segment_steps=args.gamma + 1, **common))
+    ms_tok_plain = dt * 1e3 / max(n_tok, 1)
+    print(f"engine plain: {dt * 1e3:.0f} ms, {n_tok} tok, "
+          f"{ms_tok_plain:.3f} ms/tok", flush=True)
+    results["points"].append({
+        "mode": "engine_plain", "ms_total": round(dt * 1e3, 1),
+        "tokens": n_tok, "ms_per_token": round(ms_tok_plain, 3),
+    })
+
+    for p in [float(x) for x in args.ps.split(",")]:
+        dt, n_tok = timed(lambda: DecodeEngine(
+            params, cfg, speculative=True, gamma=args.gamma,
+            spec_rounds=args.spec_rounds, inject_accept_p=p,
+            **common))
+        ms_tok = dt * 1e3 / max(n_tok, 1)
+        print(f"engine spec p={p}: {dt * 1e3:.0f} ms, {n_tok} tok, "
+              f"{ms_tok:.3f} ms/tok (vs plain {ms_tok_plain:.3f})",
+              flush=True)
+        results["points"].append({
+            "mode": "engine_spec", "p": p, "ms_total": round(dt * 1e3, 1),
+            "tokens": n_tok, "ms_per_token": round(ms_tok, 3),
+            "speedup_vs_plain": round(ms_tok_plain / ms_tok, 2),
+        })
+
+    _os.makedirs("artifacts/round3", exist_ok=True)
+    out = "artifacts/round3/spec_accept_engine.json"
+    with open(out, "w") as fh:
+        _json.dump(results, fh, indent=2)
+    print(f"wrote {out}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny cfg, CPU-safe")
@@ -40,6 +120,15 @@ def main() -> None:
         "--ps", default="0.0,0.3,0.5,0.7,0.9",
         help="comma list of injected per-draft accept rates",
     )
+    ap.add_argument(
+        "--engine", action="store_true",
+        help="benchmark the DecodeEngine (plain segments vs speculative "
+        "verify-window segments at each p) instead of the static paths — "
+        "the round-2 VERDICT #6 acceptance A/B",
+    )
+    ap.add_argument("--lanes", type=int, default=8)
+    ap.add_argument("--requests", type=int, default=16)
+    ap.add_argument("--spec-rounds", type=int, default=2)
     args = ap.parse_args()
 
     from rag_inference_pipeline_tpu.core.bootstrap import bootstrap
@@ -98,6 +187,10 @@ def main() -> None:
         "tunnel_rtt_ms": round(rtt * 1e3, 1),
         "backend": jax.default_backend(),
     }, "points": []}
+
+    if args.engine:
+        run_engine_ab(args, params, cfg, rng, results, cache_len)
+        return
 
     # greedy baseline (the reference-semantics decode)
     greedy_fn = jax.jit(partial(

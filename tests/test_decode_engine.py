@@ -214,3 +214,127 @@ class TestEngineStress:
             assert len(out) <= 5
             assert out == solo_greedy(p, 5)[: len(out)]
             assert out == solo_greedy(p, 5)
+
+
+class TestSpeculativeEngine:
+    """Engine + speculation composed (round-2 VERDICT #6): verify-window
+    segments must stay token-identical to solo greedy decode — acceptance
+    only changes how many tokens commit per device call."""
+
+    def spec_engine(self, lanes=3, cache_len=64, **kw):
+        kw.setdefault("admit_buckets", (1, 2))
+        kw.setdefault("prefill_buckets", (8, 16))
+        return DecodeEngine(
+            PARAMS, CFG, lanes=lanes, cache_len=cache_len, eos_token_id=EOS,
+            speculative=True, **kw,
+        )
+
+    @pytest.mark.parametrize("gamma,rounds", [(4, 1), (4, 2), (8, 2)])
+    def test_single_matches_solo(self, rng, gamma, rounds):
+        prompt = rng.integers(1, 400, 7).astype(np.int32)
+
+        async def main():
+            eng = self.spec_engine(gamma=gamma, spec_rounds=rounds)
+            await eng.start()
+            out = await eng.submit(prompt, 10)
+            await eng.stop()
+            return out
+
+        assert run(main()) == solo_greedy(prompt, 10)
+
+    def test_concurrent_mixed_lanes_match_solo(self, rng):
+        prompts = [
+            rng.integers(1, 400, int(n)).astype(np.int32)
+            for n in (3, 6, 8, 5, 7)
+        ]
+        max_new = [6, 12, 4, 9, 7]
+
+        async def main():
+            eng = self.spec_engine(lanes=2, gamma=4, spec_rounds=2)
+            await eng.start()
+            outs = await asyncio.gather(
+                *(eng.submit(p, m) for p, m in zip(prompts, max_new))
+            )
+            await eng.stop()
+            return outs
+
+        for p, m, o in zip(prompts, max_new, run(main())):
+            assert o == solo_greedy(p, m), f"prompt len {len(p)} diverged"
+
+    def test_staggered_admission_matches_solo(self, rng):
+        p1 = rng.integers(1, 400, 5).astype(np.int32)
+        p2 = rng.integers(1, 400, 6).astype(np.int32)
+
+        async def main():
+            eng = self.spec_engine(lanes=2, gamma=4, spec_rounds=1)
+            await eng.start()
+            t1 = asyncio.ensure_future(eng.submit(p1, 12))
+            await asyncio.sleep(0.2)
+            t2 = asyncio.ensure_future(eng.submit(p2, 6))
+            o1, o2 = await asyncio.gather(t1, t2)
+            await eng.stop()
+            return o1, o2
+
+        o1, o2 = run(main())
+        assert o1 == solo_greedy(p1, 12)
+        assert o2 == solo_greedy(p2, 6)
+
+    def test_storm_matches_solo(self, rng):
+        eng = self.spec_engine(lanes=3, cache_len=64, gamma=4, spec_rounds=2)
+        n_req = 13
+        prompts = [
+            rng.integers(1, CFG.vocab_size - 1, int(rng.integers(4, 14)))
+            .astype(np.int32)
+            for _ in range(n_req)
+        ]
+        max_news = [int(rng.integers(1, 12)) for _ in range(n_req)]
+
+        async def main():
+            await eng.start()
+            try:
+                async def delayed(i):
+                    await asyncio.sleep(float(rng.random()) * 0.05)
+                    return await eng.submit(prompts[i], max_news[i])
+
+                return await asyncio.gather(*[delayed(i) for i in range(n_req)])
+            finally:
+                await eng.stop()
+
+        for i, out in enumerate(run(main())):
+            assert out == solo_greedy(prompts[i], max_news[i]), i
+
+    def test_cache_boundary(self, rng):
+        """Generations running to the cache limit must not overflow the
+        verify-window headroom or emit past max_new."""
+        prompt = rng.integers(1, 400, 3).astype(np.int32)
+
+        async def main():
+            eng = self.spec_engine(lanes=2, cache_len=32, gamma=8, spec_rounds=2)
+            await eng.start()
+            out = await eng.submit(prompt, 28)
+            await eng.stop()
+            return out
+
+        out = run(main())
+        ref = solo_greedy(prompt, 28)
+        assert len(out) <= 28
+        assert out == ref[: len(out)]
+        # headroom guard may stop a few tokens early (gamma window), never more
+        assert len(out) >= 28 - 9 or len(out) == len(ref)
+
+    def test_inject_mode_respects_limits(self, rng):
+        """Acceptance injection (benchmark mode): commits accelerate but
+        counts never exceed max_new and every request resolves."""
+        prompts = [rng.integers(1, 400, 6).astype(np.int32) for _ in range(4)]
+
+        async def main():
+            eng = self.spec_engine(
+                lanes=2, gamma=8, spec_rounds=2, inject_accept_p=0.9
+            )
+            await eng.start()
+            outs = await asyncio.gather(*(eng.submit(p, 10) for p in prompts))
+            await eng.stop()
+            return outs
+
+        for out in run(main()):
+            assert 0 < len(out) <= 10
