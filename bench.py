@@ -35,15 +35,23 @@ def main() -> None:
         "--n", type=int, default=0,
         help="corpus rows (default 1M; 4500000 = reference scale)",
     )
-    # default 256: cost/batch is fixed-term + stream on this rig, so QPS
-    # scales with batch (measured 27k/50k/62k at 128/256/512) and recall
-    # stays >= 0.997; the metric string self-describes the batch size
-    p.add_argument("--batch", type=int, default=256)
+    # default 1024: cost/batch is fixed-term + stream + MXU on this rig;
+    # QPS scales with batch through the DMA-bound regime and the native
+    # int8 MXU dot keeps scaling past it (measured 26.6k/50.4k/99.1k at
+    # 128/256/1024, recall >= 0.996 — PERF_NOTES round-3 ladder); the
+    # metric string self-describes the batch size
+    p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--nbins", type=int, default=1024)
     p.add_argument("--iters", type=int, default=16)
     p.add_argument(
         "--kernel", choices=["int8", "bf16"], default="int8",
         help="int8 = SQ8 scan (half the HBM traffic; default)",
+    )
+    p.add_argument(
+        "--mm", choices=["int8", "bf16"], default="int8",
+        help="int8-scan matmul path: native s8xs8->s32 MXU dot (default; "
+        "exact, no accumulator bound, fastest at every measured batch) vs "
+        "the bf16 upcast (PERF_NOTES 'Native int8 MXU dot')",
     )
     args = p.parse_args()
 
@@ -109,14 +117,16 @@ def main() -> None:
         )
         jax.block_until_ready((db_i8, db_scale))
 
-        # global-scale int8 scan (bf16-upcast MXU matmul — bit-exact int
-        # scores, measured fastest on v5e; ablate4) + exact bf16 re-score
-        # of the top-64 candidates: recovers the quantization recall gap
+        # global-scale int8 scan (native s8xs8->s32 MXU dot by default —
+        # exact int scores, fastest at every measured batch; PERF_NOTES
+        # "Native int8 MXU dot") + exact bf16 re-score of the top-64
+        # candidates: recovers the quantization recall gap
         def search(q):
             return fused_topk_int8gs(
                 q.astype(jnp.float32), db_i8, db_scale, k,
                 nbins=args.nbins, chunk=chunk, interpret=interpret,
-                rescore_db=db, rescore_k=64, ntotal=n, mm_bf16=True,
+                rescore_db=db, rescore_k=64, ntotal=n,
+                mm_bf16=args.mm == "bf16",
             )
     else:
         chunk = 2048
@@ -170,7 +180,8 @@ def main() -> None:
                 s, i = fused_topk_int8gs(
                     q.astype(jnp.float32), dbq, dbs, k,
                     nbins=args.nbins, chunk=chunk, interpret=interpret,
-                    rescore_db=dbr, rescore_k=64, ntotal=n, mm_bf16=True,
+                    rescore_db=dbr, rescore_k=64, ntotal=n,
+                    mm_bf16=args.mm == "bf16",
                 )
                 return None, (s.sum(), i.max())
             _, outs = jax.lax.scan(body, None, qstk)

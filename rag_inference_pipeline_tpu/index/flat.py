@@ -233,10 +233,12 @@ class FlatIndex(BaseIndex):
                 rescore_db=self._db if r_k > 0 else None,
                 rescore_k=r_k,
                 ntotal=self.ntotal,
-                # bf16-upcast MXU matmul: bit-exact int scores up to the
-                # d*127^2 < 2^24 accumulator bound (d <= ~1040) and ~6%
-                # faster than the integer dot on v5e (ablate4)
-                mm_bf16=int8_mm_bf16_ok(self.dim),
+                # native s8xs8->s32 MXU dot: exact int scores with NO
+                # accumulator bound, and faster than the bf16 upcast at
+                # every measured batch (round-3: +17% at B=256, +27% at
+                # B=1024, parity at B=128 — PERF_NOTES "Native int8 MXU
+                # dot"); the bf16 path remains available via mm_bf16=True
+                mm_bf16=False,
             )
         if self.mesh is not None and self.mesh.dp > 1:
             return sharded_topk(

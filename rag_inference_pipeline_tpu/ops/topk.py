@@ -740,9 +740,10 @@ def sharded_topk_int8gs(
             rescore_db=rdb_local if use_rescore else None,
             rescore_k=rescore_k if use_rescore else 0,
             ntotal=local_rows,
-            # bf16-upcast matmul: bit-exact for d <= ~1040 and ~6% faster
-            # on v5e (ablate4); integer dot path beyond the exactness bound
-            mm_bf16=int8_mm_bf16_ok(d),
+            # native s8xs8->s32 MXU dot: exact with no accumulator bound
+            # and faster than the bf16 upcast at every measured batch
+            # (round-3 PERF_NOTES "Native int8 MXU dot")
+            mm_bf16=False,
         )
         valid = i >= 0  # empty bins / in-kernel-masked candidates stay -1
         gid = i + shard * shard_rows

@@ -103,18 +103,30 @@ def run_config(args, db, db_i8, db_scale, keys, b, nbins, chunk, rescore_k):
 
     interpret = jax.default_backend() == "cpu"
 
-    def search(q):
+    # device arrays reach every jit (incl. time_inprogram's scanner) as
+    # ARGUMENTS — closing over them captures GBs as HLO constants, which the
+    # tunneled remote compiler cannot survive (PERF_NOTES "Tunnel hazard")
+    mm = {
+        "auto": False, "bf16": True, "int8": False,  # auto = production default (native int8 dot)
+    }[args.mm]
+
+    def search_x(q, dbi, dbs, dbr):
         return fused_topk_int8gs(
-            q.astype(jnp.float32), db_i8, db_scale, args.k,
+            q.astype(jnp.float32), dbi, dbs, args.k,
             nbins=nbins, chunk=chunk, interpret=interpret,
-            rescore_db=db if rescore_k else None, rescore_k=rescore_k,
-            ntotal=args.n, mm_bf16=int8_mm_bf16_ok(args.d),
+            rescore_db=dbr, rescore_k=rescore_k,
+            ntotal=args.n, mm_bf16=mm,
         )
+
+    extra = (db_i8, db_scale, db if rescore_k else None)
+
+    def search(q):
+        return search_x(q, *extra)
 
     variants = make_queries(args, db, keys, b)
     try:
         rec = recall_of(args, search, db, db_i8, db_scale, variants[0][0])
-        ms_ip = time_inprogram(lambda q: search(q), variants, reps=3)
+        ms_ip = time_inprogram(search_x, variants, extra=extra, reps=3)
     except Exception as e:  # noqa: BLE001 — VMEM OOM at this config
         msg = str(e).splitlines()[0][:100]
         print(f"B={b:5d} nbins={nbins:5d} chunk={chunk:6d}  SKIP: {msg}")
@@ -205,7 +217,7 @@ def run_tail(args, db, db_i8, db_scale, keys):
     )
 
     b, nbins, chunk = args.batch, args.nbins, args.chunk
-    mm = int8_mm_bf16_ok(args.d)
+    mm = False  # production default: native int8 dot
     interp = jax.default_backend() == "cpu"
     variants = make_queries(args, db, keys, b)
 
@@ -253,6 +265,11 @@ def main() -> None:
     ap.add_argument("--batches", default="128,256,512,1024")
     ap.add_argument("--nbins-list", default="512,1024")
     ap.add_argument("--chunks", default="4096,8192")
+    ap.add_argument(
+        "--mm", choices=["auto", "bf16", "int8"], default="auto",
+        help="matmul path: bf16-upcast (bit-exact, bf16 MXU rate) vs native "
+        "int8 dot (2x peak TOPs on v5e — the compute-bound large-B lever)",
+    )
     ap.add_argument("--out", default="artifacts/round3/bench_kernel.json")
     args = ap.parse_args()
     args.chunk_list = sorted(
