@@ -158,6 +158,22 @@ async def handle_retrieve(request: web.Request) -> web.Response:
     s: Settings = request.app[SETTINGS_KEY]
     # validate dims BEFORE enqueueing: a bad item inside a flushed batch
     # would fail other clients' co-batched requests
+    batch_emb = None
+    if req.embeddings_b64 is not None:
+        import base64 as _b64
+
+        import numpy as _np
+
+        raw = _b64.b64decode(req.embeddings_b64)
+        want = len(req.items) * s.index_dim * 4
+        if len(raw) != want:
+            raise ValueError(
+                f"embeddings_b64: {len(raw)} bytes != "
+                f"{len(req.items)} items x {s.index_dim} dim x f32 ({want})"
+            )
+        batch_emb = _np.frombuffer(raw, _np.float32).reshape(
+            len(req.items), s.index_dim
+        )
     for i, it in enumerate(req.items):
         if it.embedding is not None and len(it.embedding) != s.index_dim:
             raise ValueError(
@@ -168,11 +184,14 @@ async def handle_retrieve(request: web.Request) -> web.Response:
     items = [
         {
             "query": it.query,
-            "embedding": it.embedding,
+            "embedding": (
+                batch_emb[i] if batch_emb is not None and it.embedding is None
+                else it.embedding
+            ),
             "k": it.k,
             "rerank": req.rerank,
         }
-        for it in req.items
+        for i, it in enumerate(req.items)
     ]
     results = await asyncio.gather(*(sched.enqueue(it) for it in items))
     return web.json_response(

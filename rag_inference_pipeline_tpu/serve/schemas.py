@@ -60,6 +60,19 @@ class RetrieveItem(BaseModel):
 class RetrieveRequest(BaseModel):
     items: list[RetrieveItem]
     rerank: bool = False
+    # binary batch embeddings: base64 of little-endian float32
+    # [len(items), dim] row-major. The JSON-float-list path costs ~10x in
+    # parse + validate at batch 512 (the serve-layer tax the reference paid
+    # msgspec/orjson to avoid, rpc_client.py:122-126); this is the wire
+    # format for embedding-bearing /retrieve at device-scale batches.
+    embeddings_b64: Optional[str] = None
+
+    @field_validator("embeddings_b64")
+    @classmethod
+    def _check_emb_b64(cls, v):
+        if v is not None:
+            base64.b64decode(v, validate=True)
+        return v
 
 
 class RetrieveResultItem(BaseModel):

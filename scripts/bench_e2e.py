@@ -39,6 +39,13 @@ def main() -> None:
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--iters", type=int, default=6)
     p.add_argument("--spec-gamma", type=int, default=8)
+    p.add_argument(
+        "--inject-p", type=float, default=None,
+        help="acceptance-injection rate for an e2e_spec variant: E2E with "
+        "the decode stage running speculative verify windows at synthetic "
+        "acceptance p (the <100 ms north-star measurement without real "
+        "weights; see bench_spec_accept.py)",
+    )
     args = p.parse_args()
 
     import jax
@@ -92,6 +99,7 @@ def main() -> None:
             ngram_speculative_generate, cfg=lm_cfg,
             max_new_tokens=args.new_tokens, gamma=args.spec_gamma,
             eos_token_id=-1, cache_len=args.prompt_len + args.new_tokens,
+            inject_accept_p=args.inject_p,
         )
     )
 
@@ -137,6 +145,20 @@ def main() -> None:
         ),
         "e2e": pipeline,
     }
+    if args.inject_p is not None:
+        def pipeline_spec(inp):
+            emb = embed_fn(emb_params, input_ids=inp["q_ids"], attn_mask=ones_q)
+            s, ids = fused_topk_int8gs(
+                emb, db_i8, gscale, args.k, nbins=1024, chunk=4096,
+                ntotal=n_true,
+            )
+            logits = rerank_fn(rr_params, input_ids=inp["rr_ids"], attn_mask=ones_rr)
+            toks, kbar = spec_fn(
+                lm_params, input_ids=inp["lm_ids"], attn_mask=ones_lm
+            )
+            return s, ids, logits, toks, kbar
+
+        stages["e2e_spec"] = pipeline_spec
     # full-fetch protocol: np.asarray every output (block_until_ready alone
     # does not guarantee execution through the axon tunnel — PERF_NOTES.md);
     # numbers therefore INCLUDE one host round-trip and are upper bounds.

@@ -194,6 +194,50 @@ class TestEndToEnd:
 
         run_app_test(s, check)
 
+    def test_retrieve_binary_embeddings(self):
+        """embeddings_b64 (f32 row-major) must search identically to the
+        JSON-float-list path and reject size mismatches."""
+        import base64
+
+        s = tiny_settings()
+
+        async def check(client):
+            rng = np.random.default_rng(3)
+            emb = rng.standard_normal((2, DIM)).astype(np.float32)
+            resp = await client.post(
+                "/retrieve",
+                json={
+                    "items": [{"k": 4}, {"k": 4}],
+                    "embeddings_b64": base64.b64encode(
+                        emb.tobytes()
+                    ).decode(),
+                },
+            )
+            assert resp.status == 200, await resp.text()
+            b64_ids = [r["ids"] for r in (await resp.json())["results"]]
+            resp = await client.post(
+                "/retrieve",
+                json={"items": [
+                    {"embedding": emb[0].tolist(), "k": 4},
+                    {"embedding": emb[1].tolist(), "k": 4},
+                ]},
+            )
+            json_ids = [r["ids"] for r in (await resp.json())["results"]]
+            assert b64_ids == json_ids
+            # wrong byte count -> validation error, not a 500
+            resp = await client.post(
+                "/retrieve",
+                json={
+                    "items": [{"k": 4}],
+                    "embeddings_b64": base64.b64encode(
+                        emb[0, :-1].tobytes()
+                    ).decode(),
+                },
+            )
+            assert resp.status == 400
+
+        run_app_test(s, check)
+
     def test_generate_direct(self):
         s = tiny_settings()
 
