@@ -1,0 +1,377 @@
+#!/usr/bin/env python
+"""The >=10M-row regime demo (round-2 VERDICT #4): flat-int8 vs IVF-PQ4.
+
+PQ4 and the IVF machinery were built FOR the scale where a flat scan's
+full-corpus pass stops being affordable and the bf16 rescore copy stops
+fitting. This script demonstrates that regime on one chip:
+
+- 10.24M x 768 corpus GENERATED ON DEVICE in blocks (normalized random
+  rows, reference parity: scripts/create_test_docs.py random index,
+  reference create_test_docs.py:75-106) — nothing crosses the ~16 MB/s
+  tunnel except the id layout (40 MB) and results.
+- ground truth: exact bf16 top-10 merged block-by-block during ingest.
+- flat-int8 (7.9 GB codes): the bf16 rescore copy would need another
+  15.7 GB -> does NOT fit 16 GB HBM; measured WITHOUT rescore
+  (quantization-bound recall). IVF-Flat bf16 ([nlist, cap, 768] bf16
+  ~ 23.6 GB at cap_factor 1.5) does not fit at all — at 10M single-chip
+  the bucketed machinery must carry PQ codes, which is exactly the
+  IVF-PQ4 configuration measured here.
+- IVF-PQ4 (2.0 GB codes incl. bucket padding): residual PQ4 + one-hot MXU
+  ADC (ops/pq.py::ivfpq4_search_dedup), with an optional exact-int8
+  re-score of the shortlist against the flat codes (both indexes fit
+  together: ~10 GB).
+
+Ladder: B in {1, 4, 32} (+128 for flat), nprobe in {32, 64, 128}.
+Writes artifacts/round3/bench_10m.json. Phases are resumable via --phase.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10_240_000)
+    ap.add_argument("--d", type=int, default=768)
+    ap.add_argument("--block", type=int, default=1_024_000)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--nq", type=int, default=128)
+    ap.add_argument("--nlist", type=int, default=4096)
+    ap.add_argument("--m", type=int, default=96)
+    ap.add_argument("--cap-factor", type=float, default=1.5)
+    ap.add_argument("--nprobes", default="32,64,128")
+    ap.add_argument("--flat-batches", default="1,4,32,128")
+    ap.add_argument("--pq-batches", default="1,4,32")
+    # shortlist depth for the exact-int8 re-score: within a tight cluster
+    # the PQ4 ADC error exceeds the true score gaps between near-tie
+    # neighbors, so the shortlist must be deep enough for the re-score to
+    # do the final ranking (smoke showed 32 -> recall 0.4 with ALL GT rows
+    # present in the probed buckets; 512 recovers them)
+    ap.add_argument("--rescore", type=int, default=512)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny shapes on CPU (correctness of the harness)")
+    ap.add_argument("--out", default="artifacts/round3/bench_10m.json")
+    args = ap.parse_args()
+
+    from rag_inference_pipeline_tpu.core.bootstrap import bootstrap
+
+    bootstrap()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rag_inference_pipeline_tpu.bench import time_inprogram
+    from rag_inference_pipeline_tpu.ops import fused_topk_int8gs, int8_mm_bf16_ok
+    from rag_inference_pipeline_tpu.ops.kmeans import kmeans
+    from rag_inference_pipeline_tpu.ops.pq import (
+        ivfpq4_search_dedup,
+        IVFPQListing,
+        pq_encode,
+        train_pq,
+    )
+
+    if args.smoke:
+        args.n, args.block, args.nlist, args.nq = 131072, 32768, 64, 32
+        args.flat_batches, args.pq_batches = "1,8", "1,8"
+        args.nprobes, args.rescore = "8,16", 256
+    n, d, blk, k = args.n, args.d, args.block, args.k
+    assert n % blk == 0 and blk % 8192 == 0
+    n_blocks = n // blk
+    interpret = jax.default_backend() == "cpu"
+    chunk, nbins = (8192, 1024) if not args.smoke else (4096, 256)
+    print(f"backend={jax.default_backend()} n={n} blocks={n_blocks}",
+          flush=True)
+
+    key = jax.random.key(0)
+    # Mixture-of-Gaussians corpus (clustered, ANN-realistic — the oracle
+    # script's clustered_corpus on device). UNIFORM random vectors make IVF
+    # recall structurally meaningless: the reference's own corpus is random
+    # (create_test_docs.py:75-106) which is exactly why it never published
+    # recall numbers — nearest neighbors of random points spread uniformly
+    # over lists, so nprobe=64/4096 caps recall at a few percent for ANY
+    # IVF implementation. Cluster spread matches the round-2 bench corpus.
+    n_centers = 8192 if not args.smoke else 256
+    # spread is the RELATIVE noise norm: sigma = spread/sqrt(d) per
+    # coordinate gives ||noise|| ~ spread around unit-norm centers, i.e.
+    # intra-cluster cosine ~ 1/sqrt(1+spread^2) ~ 0.82 at 0.7 — the shape
+    # of a topical embedding corpus. (Per-coordinate spread 0.3, as in the
+    # round-2 bench corpus, puts ||noise|| at 0.3*sqrt(768) ~ 8x the
+    # center: effectively a RANDOM corpus, on which any IVF's recall is
+    # probing-bound by construction — see artifacts/round3/ivf_oracle.json.)
+    spread = 0.7
+    sigma = spread / float(np.sqrt(d))
+    centers_key, which_key = jax.random.split(jax.random.fold_in(key, 999))
+    _centers = jax.random.normal(centers_key, (n_centers, d), jnp.float32)
+    _centers = _centers / jnp.linalg.norm(_centers, axis=1, keepdims=True)
+
+    def gen_block(i, centers=None):
+        """Clustered bf16 corpus block i — same rows every call (keyed)."""
+        c = _centers if centers is None else centers
+        kb = jax.random.fold_in(key, i)
+        which = jax.random.randint(
+            jax.random.fold_in(which_key, i), (blk,), 0, n_centers
+        )
+        x = c[which] + sigma * jax.random.normal(kb, (blk, d), jnp.float32)
+        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+        return x.astype(jnp.bfloat16)
+
+    # ---- phase 1: ingest (int8 store + exact GT), one compile ----------
+    t0 = time.time()
+    x0 = gen_block(0)
+    from rag_inference_pipeline_tpu.ops import quantize_global_int8
+
+    _, scale = quantize_global_int8(x0[:262144].astype(jnp.float32))
+    kq = jax.random.fold_in(key, 10_000)
+    # query = corpus row + relative-norm 0.3 noise (cos ~0.96): realistic
+    # "query lands near but not on a document" geometry
+    q = x0[: args.nq].astype(jnp.float32) + (0.3 / float(np.sqrt(d))) * (
+        jax.random.normal(kq, (args.nq, d), jnp.float32)
+    )
+    q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+    q = jax.device_put(q)
+
+    # NB every device array is passed as a jit ARGUMENT, never closed over —
+    # closed-over arrays ship as HLO constants to the remote compiler and
+    # hang it (PERF_NOTES "Tunnel hazard"). Big accumulators are donated.
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def ingest(i, db_i8, gt_s, gt_i, qdev, gen_centers):
+        x = gen_block(i, gen_centers)
+        i8 = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / scale), -127, 127
+        ).astype(jnp.int8)
+        db_i8 = jax.lax.dynamic_update_slice(db_i8, i8, (i * blk, 0))
+        s = jnp.dot(
+            qdev.astype(jnp.bfloat16), x.T, preferred_element_type=jnp.float32
+        )  # [nq, blk]
+        cs, ci = jax.lax.top_k(s, k)
+        all_s = jnp.concatenate([gt_s, cs], axis=1)
+        all_i = jnp.concatenate([gt_i, ci + i * blk], axis=1)
+        ms, sel = jax.lax.top_k(all_s, k)
+        return db_i8, ms, jnp.take_along_axis(all_i, sel, axis=1)
+
+    db_i8 = jnp.zeros((n, d), jnp.int8)
+    gt_s = jnp.full((args.nq, k), -1e30, jnp.float32)
+    gt_i = jnp.full((args.nq, k), -1, jnp.int32)
+    for i in range(n_blocks):
+        db_i8, gt_s, gt_i = ingest(i, db_i8, gt_s, gt_i, q, _centers)
+        print(f"  ingest block {i + 1}/{n_blocks}", flush=True)
+    gt = np.asarray(gt_i)
+    q_np = np.asarray(q)
+    print(f"ingest + GT: {time.time() - t0:.0f}s", flush=True)
+
+    results = {"config": {
+        "n": n, "d": d, "k": k, "nlist": args.nlist, "m": args.m,
+        "backend": jax.default_backend(),
+        "note": "flat-int8 has NO rescore copy (bf16 copy = 15.7 GB > HBM); "
+                "IVF-Flat bf16 = 23.6 GB, infeasible single-chip at 10M",
+    }, "flat_int8": [], "ivfpq4": []}
+
+    rng = np.random.default_rng(1)
+
+    def variants_for(b, n_var=3, stack=4):
+        out = []
+        for r in range(n_var):
+            sel = rng.integers(0, args.nq, (stack, b))
+            out.append(jnp.asarray(q_np[sel]))
+        return out
+
+    def recall_against_gt(ids, rows):
+        return float(np.mean([
+            len(set(ids[j].tolist()) & set(gt[rows[j]].tolist())) / k
+            for j in range(len(rows))
+        ]))
+
+    # ---- phase 2: flat-int8 ladder -------------------------------------
+    # device arrays are passed to time_inprogram's scanner via `extra`,
+    # never closed over (PERF_NOTES "Tunnel hazard")
+    mm = False  # native int8 MXU dot (round-3 default; PERF_NOTES)
+
+    def flat_search(qq, dbi, sc):
+        return fused_topk_int8gs(
+            qq, dbi, sc, k, nbins=nbins, chunk=chunk,
+            ntotal=n, mm_bf16=mm, interpret=interpret,
+        )
+
+    for b in (int(x) for x in args.flat_batches.split(",")):
+        rows = np.arange(min(b, args.nq))
+        _, ids = flat_search(jnp.asarray(q_np[rows]), db_i8, scale)
+        rec = recall_against_gt(np.asarray(ids), rows)
+        ms = time_inprogram(
+            flat_search, variants_for(b), extra=(db_i8, scale), reps=3
+        )
+        qps = b / (ms / 1e3)
+        print(f"flat-int8 B={b:4d}: {ms:8.2f} ms recall {rec:.3f} "
+              f"QPS {qps:8.0f}", flush=True)
+        results["flat_int8"].append({
+            "batch": b, "ms_inprogram": round(ms, 2),
+            "recall": round(rec, 4), "qps": round(qps, 1),
+        })
+        _write(args.out, results)
+
+    # ---- phase 3: IVF-PQ4 build ----------------------------------------
+    t0 = time.time()
+    kc, kp = jax.random.split(jax.random.fold_in(key, 77))
+    train_n = min(131072, blk)
+    train = gen_block(0)[:train_n].astype(jnp.float32)
+    centroids, _ = kmeans(kc, train, args.nlist, iters=15)
+    print(f"kmeans: {time.time() - t0:.0f}s", flush=True)
+
+    @jax.jit
+    def assign_top8(i, cents, gen_centers):
+        x = gen_block(i, gen_centers).astype(jnp.float32)
+        sc = jnp.dot(x, cents.T, preferred_element_type=jnp.float32)
+        _, top8 = jax.lax.top_k(sc, 8)
+        return top8.astype(jnp.int32)
+
+    top8_host = np.concatenate(
+        [np.asarray(assign_top8(i, centroids, _centers))
+         for i in range(n_blocks)]
+    )  # [n, 8]
+    print(f"assign: {time.time() - t0:.0f}s", flush=True)
+
+    # host layout with an 8-tier nearest-centroid cascade (ops/ivf.py::
+    # layout_inverted_lists semantics; the full-distance fallback is
+    # replaced by "any free list" and counted — rare at cap_factor 1.5)
+    cap = int(np.ceil(args.cap_factor * n / args.nlist))
+    cap = max(128, ((cap + 127) // 128) * 128)
+    ids = np.full((args.nlist, cap), -1, np.int32)
+    sizes = np.zeros(args.nlist, np.int32)
+    dest = np.full(n, -1, np.int64)  # row -> flat slot nlist*cap
+    parked = 0
+    for row in range(n):
+        for c in top8_host[row]:
+            if sizes[c] < cap:
+                ids[c, sizes[c]] = row
+                dest[row] = c * cap + sizes[c]
+                sizes[c] += 1
+                break
+        else:
+            parked += 1
+            c = int(np.argmin(sizes))
+            ids[c, sizes[c]] = row
+            dest[row] = c * cap + sizes[c]
+            sizes[c] += 1
+    assign = top8_host[:, 0].copy()
+    del top8_host
+    print(f"layout: {time.time() - t0:.0f}s (parked {parked})", flush=True)
+
+    # residual PQ4 training on the block-0 sample
+    r_train = train - centroids[jnp.asarray(assign[:train_n])]
+    codebooks = train_pq(kp, r_train, args.m, iters=12, ksub=16)
+
+    m_store = max(128, ((args.m + 127) // 128) * 128)
+    assign_dev = jax.device_put(jnp.asarray(assign))
+    dest_dev = jax.device_put(jnp.asarray(dest, jnp.int32))
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def encode_scatter(i, flat_codes, cents, cbooks, a_all, d_all, gen_centers):
+        x = gen_block(i, gen_centers).astype(jnp.float32)
+        a = jax.lax.dynamic_slice_in_dim(a_all, i * blk, blk)
+        r = x - cents[a]
+        codes = pq_encode(r, cbooks)  # [blk, m] u8
+        codes = jnp.pad(codes, ((0, 0), (0, m_store - args.m)))
+        dst = jax.lax.dynamic_slice_in_dim(d_all, i * blk, blk)
+        return flat_codes.at[dst].set(codes, mode="drop")
+
+    flat_codes = jnp.zeros((args.nlist * cap, m_store), jnp.uint8)
+    for i in range(n_blocks):
+        flat_codes = encode_scatter(
+            i, flat_codes, centroids, codebooks, assign_dev, dest_dev,
+            _centers,
+        )
+        print(f"  encode block {i + 1}/{n_blocks}", flush=True)
+    listing = IVFPQListing(
+        centroids=centroids,
+        codebooks=codebooks,
+        code_buckets=flat_codes.reshape(args.nlist, cap, m_store),
+        ids=jax.device_put(jnp.asarray(ids)),
+        list_sizes=jax.device_put(jnp.asarray(sizes)),
+    )
+    del flat_codes
+    print(f"ivfpq4 build total: {time.time() - t0:.0f}s", flush=True)
+
+    # ---- phase 4: IVF-PQ4 ladder (+ exact-int8 shortlist re-score) ------
+    # layout candidate bound: fraction of GT rows whose STORED list is
+    # among the query's top-nprobe — the probing/centroid-quality ceiling
+    # that no scoring method can beat (separates probing loss from ADC
+    # loss; same decomposition as scripts/ivf_recall_oracle.py)
+    stored_list = (dest // cap).astype(np.int64)
+    cents_np = np.asarray(centroids)
+    coarse_q = q_np @ cents_np.T
+    bounds = {}
+    for nprobe in (int(x) for x in args.nprobes.split(",")):
+        pr = np.argsort(-coarse_q, axis=1)[:, :nprobe]
+        bounds[nprobe] = round(float(np.mean([
+            np.isin(stored_list[gt[i]], pr[i]).mean()
+            for i in range(args.nq)
+        ])), 4)
+    results["layout_candidate_bound"] = bounds
+    print(f"layout candidate bounds: {bounds}", flush=True)
+    scale_f = jax.device_put(scale)
+
+    def pq_search(qq, lst, dbi, sc, *, nprobe):
+        s, ids_ = ivfpq4_search_dedup(
+            lst, qq, args.rescore, nprobe=nprobe, interpret=interpret,
+        )
+        cand = jnp.take(dbi, jnp.clip(ids_, 0), axis=0)
+        exact = jnp.einsum(
+            "bsd,bd->bs",
+            cand.astype(jnp.float32) * sc,
+            qq.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        exact = jnp.where(ids_ >= 0, exact, -1e30)
+        top, sel = jax.lax.top_k(exact, k)
+        return top, jnp.take_along_axis(ids_, sel, axis=1)
+
+    for b in (int(x) for x in args.pq_batches.split(",")):
+        for nprobe in (int(x) for x in args.nprobes.split(",")):
+            search = functools.partial(pq_search, nprobe=nprobe)
+            rows = np.arange(min(b, args.nq))
+            try:
+                _, ids_ = search(
+                    jnp.asarray(q_np[rows]), listing, db_i8, scale_f
+                )
+                rec = recall_against_gt(np.asarray(ids_), rows)
+                ms = time_inprogram(
+                    search, variants_for(b),
+                    extra=(listing, db_i8, scale_f), reps=3,
+                )
+            except Exception as e:  # noqa: BLE001
+                print(f"ivfpq4 B={b} nprobe={nprobe} SKIP: "
+                      f"{str(e).splitlines()[0][:90]}", flush=True)
+                continue
+            qps = b / (ms / 1e3)
+            print(f"ivfpq4 B={b:3d} nprobe={nprobe:4d}: {ms:8.2f} ms "
+                  f"recall {rec:.3f} QPS {qps:8.0f}", flush=True)
+            results["ivfpq4"].append({
+                "batch": b, "nprobe": nprobe, "rescore": args.rescore,
+                "ms_inprogram": round(ms, 2), "recall": round(rec, 4),
+                "qps": round(qps, 1),
+            })
+            _write(args.out, results)
+
+    flat_by_b = {r["batch"]: r for r in results["flat_int8"]}
+    for r in results["ivfpq4"]:
+        f = flat_by_b.get(r["batch"])
+        if f:
+            r["speedup_vs_flat"] = round(
+                f["ms_inprogram"] / r["ms_inprogram"], 2
+            )
+    _write(args.out, results)
+    print(f"wrote {args.out}", flush=True)
+
+
+def _write(path, payload) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump(payload, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -32,15 +32,26 @@ import json
 import os
 
 
-def clustered_corpus(rng, n, d, n_clusters, spread=0.15):
-    """Mixture-of-Gaussians corpus, normalized — the ANN-realistic shape
-    (uniform random data makes IVF look artificially easy or hard)."""
+def clustered_corpus(rng, n, d, n_clusters, spread=0.15, rel=False):
+    """Mixture-of-Gaussians corpus, normalized.
+
+    rel=False: `spread` is the PER-COORDINATE sigma (round-2 bench corpus
+    semantics). Note ||noise|| = spread*sqrt(d): at spread 0.3 / d=768 the
+    noise is ~8x the unit center, i.e. an effectively RANDOM corpus —
+    nearest neighbors spread uniformly over lists and any IVF's recall is
+    probing-bound (the 1M oracle run proves exactly this: kernel and
+    layout losses are zero, ideal recall ~ 0.15 at nprobe=64/4096).
+
+    rel=True: `spread` is the RELATIVE noise norm (sigma = spread/sqrt(d)),
+    intra-cluster cosine ~ 1/sqrt(1+spread^2) — the ANN-realistic topical
+    embedding shape where IVF probing actually concentrates."""
     import numpy as np
 
     centers = rng.standard_normal((n_clusters, d)).astype(np.float32)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     which = rng.integers(0, n_clusters, n)
-    x = centers[which] + spread * rng.standard_normal((n, d)).astype(np.float32)
+    sigma = spread / np.sqrt(d) if rel else spread
+    x = centers[which] + sigma * rng.standard_normal((n, d)).astype(np.float32)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     return x
 
@@ -58,7 +69,11 @@ def main() -> None:
     ap.add_argument("--nprobes", default="16,32,64,128")
     ap.add_argument("--spread", type=float, default=0.3,
                     help="cluster spread (0.3 = round-2 bench corpus)")
+    ap.add_argument("--rel-spread", action="store_true",
+                    help="treat --spread as RELATIVE noise norm (the "
+                    "ANN-realistic corpus; see clustered_corpus)")
     ap.add_argument("--qnoise", type=float, default=0.02)
+    ap.add_argument("--out", default="artifacts/round3/ivf_oracle.json")
     ap.add_argument("--kmeans-sweep", action="store_true",
                     help="also sweep iters/train_size on recall(ideal)")
     args = ap.parse_args()
@@ -78,7 +93,9 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     n, d, k = args.n, args.d, args.k
-    x = clustered_corpus(rng, n, d, n_clusters=2048, spread=args.spread)
+    x = clustered_corpus(
+        rng, n, d, n_clusters=2048, spread=args.spread, rel=args.rel_spread
+    )
     q_rows = rng.integers(0, n, args.nq)
     q = x[q_rows] + args.qnoise * rng.standard_normal((args.nq, d)).astype(np.float32)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
@@ -200,7 +217,7 @@ def main() -> None:
         results["runs"].append(run_once(args.iters, args.n, "train-all"))
 
     os.makedirs("artifacts/round3", exist_ok=True)
-    out = "artifacts/round3/ivf_oracle.json"
+    out = args.out
     results["config"].pop("kmeans_sweep", None)
     with open(out, "w") as fh:
         json.dump(results, fh, indent=2)
