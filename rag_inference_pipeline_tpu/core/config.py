@@ -101,6 +101,12 @@ class Settings(BaseModel):
     # 0.963 recall@10 at 100k vs 0.787 at 64 (tests/test_round2_gaps.py)
     index_rescore_k: int = 64
     index_pq_rescore_k: int = 256
+    # IVF bucket capacity = cap_factor * n/nlist (lane-aligned). 2.5 holds
+    # every row in its home list on clustered corpora; 1.5 displaced 158k
+    # rows at 1M/nlist=4096, a flat -6 recall points at EVERY nprobe
+    # (artifacts/round3/ivf_oracle_1m_realistic*.json). Cost is padded HBM:
+    # bucket storage = cap_factor * n rows.
+    index_cap_factor: float = 2.5
     index_shard_axis: str = "dp"  # mesh axis database rows are sharded over
 
     # --- retrieval / generation semantics (reference :231-244) ---
@@ -215,6 +221,11 @@ class Settings(BaseModel):
             raise ValueError(
                 "index_pq_bits must be 4 (PQ4 one-hot MXU ADC, ksub=16 — "
                 "double index_pq_m for equal bits/row) or 8 (PQ8, ksub=256)"
+            )
+        if self.index_cap_factor < 1.0:
+            raise ValueError(
+                "index_cap_factor must be >= 1.0 (bucket capacity as a "
+                "multiple of the mean list size)"
             )
         return self
 

@@ -28,6 +28,7 @@ def make_index(settings, mesh=None) -> BaseIndex:
             nprobe=settings.index_nprobe,
             dtype=settings.index_dtype,
             mesh=mesh,
+            cap_factor=settings.index_cap_factor,
         )
     return IVFPQIndex(
         settings.index_dim,
@@ -36,6 +37,7 @@ def make_index(settings, mesh=None) -> BaseIndex:
         nprobe=settings.index_nprobe,
         mesh=mesh,
         rescore_k=settings.index_pq_rescore_k,
+        cap_factor=settings.index_cap_factor,
         # 4-bit codes -> ksub=16 one-hot MXU ADC kernel (the >=10M capacity
         # play: 10M x 768 at m=192/PQ4 is ~1.9 GB of codes vs 15 GB bf16)
         ksub=16 if settings.index_pq_bits == 4 else 256,

@@ -35,7 +35,7 @@ class IVFFlatIndex(BaseIndex):
         metric: str = "ip",
         nprobe: int = 64,
         dtype: str = "bfloat16",
-        cap_factor: float = 1.5,
+        cap_factor: float = 2.5,
         mesh: Optional[MeshContext] = None,
         exact: bool = False,
         dedup: bool = True,

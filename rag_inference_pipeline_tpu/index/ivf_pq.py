@@ -35,7 +35,7 @@ class IVFPQIndex(BaseIndex):
         m: int,
         *,
         nprobe: int = 64,
-        cap_factor: float = 1.5,
+        cap_factor: float = 2.5,
         rescore_k: int = 0,
         opq: bool = False,
         mesh: Optional[MeshContext] = None,

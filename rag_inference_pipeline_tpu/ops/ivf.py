@@ -43,7 +43,7 @@ def layout_inverted_lists(
     centroids: np.ndarray,
     assignments: np.ndarray,
     *,
-    cap_factor: float = 1.5,
+    cap_factor: float = 2.5,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Host-side id layout only: (ids [nlist, cap] i32, sizes [nlist] i32).
 
@@ -92,7 +92,7 @@ def build_ivf_listing(
     centroids: np.ndarray,
     assignments: np.ndarray,
     *,
-    cap_factor: float = 1.5,
+    cap_factor: float = 2.5,
     storage_dtype=jnp.bfloat16,
 ) -> IVFListing:
     """Host-side list construction from a device-computed assignment."""
@@ -119,7 +119,7 @@ def build_ivf(
     *,
     train_size: int = 131072,
     iters: int = 15,
-    cap_factor: float = 1.5,
+    cap_factor: float = 2.5,
     storage_dtype=jnp.bfloat16,
     seed: int = 0,
 ) -> IVFListing:

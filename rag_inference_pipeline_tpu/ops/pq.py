@@ -261,7 +261,7 @@ def build_ivfpq(
     train_size: int = 131072,
     kmeans_iters: int = 15,
     pq_iters: int = 12,
-    cap_factor: float = 1.5,
+    cap_factor: float = 2.5,
     seed: int = 0,
     ksub: int = 256,
 ) -> IVFPQListing:

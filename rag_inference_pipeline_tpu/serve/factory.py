@@ -114,6 +114,7 @@ _INDEX_CFG_KEYS = {
     "pq_bits": "index_pq_bits",
     "rescore_k": "index_rescore_k",
     "pq_rescore_k": "index_pq_rescore_k",
+    "cap_factor": "index_cap_factor",
 }
 
 

@@ -243,3 +243,57 @@ class TestIVFPQTailProbes:
         # both are full probes -> identical candidate sets
         for b in range(6):
             assert set(np.asarray(i5)[b]) == set(np.asarray(i1)[b])
+
+
+class TestCapacityDisplacement:
+    """Round-3 IVF recall root cause (artifacts/round3/ivf_oracle_1m_*.json):
+    at cap_factor 1.5 a skewed cluster overflows its bucket and the overflow
+    cascades into lists the coarse search never probes — a flat recall loss
+    at every nprobe. cap_factor 2.5 (the new default) holds every row in its
+    home list."""
+
+    def _skewed(self, rng, n=8000, d=16, nlist=8):
+        from rag_inference_pipeline_tpu.ops.ivf import layout_inverted_lists
+
+        centers = rng.standard_normal((nlist, d)).astype(np.float32)
+        # one hot cluster holds 25% of the corpus (2x the 12.5% mean —
+        # the measured 1M imbalance was 2.26x, within the 2.5 cap)
+        probs = np.full(nlist, 0.75 / (nlist - 1))
+        probs[3] = 0.25
+        assignments = rng.choice(nlist, size=n, p=probs).astype(np.int32)
+        x = centers[assignments] + 0.05 * rng.standard_normal((n, d)).astype(
+            np.float32
+        )
+        return layout_inverted_lists, x, centers, assignments
+
+    @staticmethod
+    def _displaced(ids, assignments):
+        nlist, cap = ids.shape
+        stored = np.full(assignments.shape[0], -1, np.int64)
+        for lst in range(nlist):
+            rows = ids[lst][ids[lst] >= 0]
+            stored[rows] = lst
+        assert (stored >= 0).all()  # every row indexed exactly once
+        return int(np.sum(stored != assignments))
+
+    def test_cap_15_displaces_and_default_does_not(self, rng):
+        layout, x, centers, assignments = self._skewed(rng)
+        ids_15, _ = layout(x, centers, assignments, cap_factor=1.5)
+        assert self._displaced(ids_15, assignments) > 300  # the old default
+        ids_def, sizes = layout(x, centers, assignments)  # default 2.5
+        assert self._displaced(ids_def, assignments) == 0
+        assert int(sizes.sum()) == x.shape[0]
+
+    def test_settings_plumb_cap_factor(self):
+        from rag_inference_pipeline_tpu.core.config import Settings
+        from rag_inference_pipeline_tpu.index import make_index
+
+        s = Settings(
+            index_kind="ivf_flat", index_dim=64, index_nlist=8,
+            index_pq_m=8, index_cap_factor=3.0,
+        )
+        assert make_index(s).cap_factor == 3.0
+        s = Settings(index_kind="ivf_pq", index_dim=64, index_pq_m=8)
+        assert make_index(s).cap_factor == 2.5  # default
+        with pytest.raises(Exception):
+            Settings(index_cap_factor=0.5)
