@@ -43,7 +43,9 @@ def main() -> None:
     ap.add_argument("--nq", type=int, default=128)
     ap.add_argument("--nlist", type=int, default=4096)
     ap.add_argument("--m", type=int, default=96)
-    ap.add_argument("--cap-factor", type=float, default=1.5)
+    # 2.5 = the round-3 production default: zero capacity-cascade
+    # displacement at measured imbalance (ivf_oracle_1m_realistic_cap25)
+    ap.add_argument("--cap-factor", type=float, default=2.5)
     ap.add_argument("--nprobes", default="32,64,128")
     ap.add_argument("--flat-batches", default="1,4,32,128")
     ap.add_argument("--pq-batches", default="1,4,32")
@@ -106,19 +108,36 @@ def main() -> None:
     spread = 0.7
     sigma = spread / float(np.sqrt(d))
     centers_key, which_key = jax.random.split(jax.random.fold_in(key, 999))
+    gen_key = jax.random.fold_in(key, 555)
     _centers = jax.random.normal(centers_key, (n_centers, d), jnp.float32)
     _centers = _centers / jnp.linalg.norm(_centers, axis=1, keepdims=True)
+
+    # generation is CHUNK-keyed: a whole-block f32 generation materializes
+    # ~3 GB gather + ~3 GB normal + normalization transients, which OOMs
+    # once the 7.9 GB int8 store AND the 3.3 GB PQ4 buckets are resident
+    # (measured RESOURCE_EXHAUSTED, deferred to the next sync point). Per
+    # 64k-row chunk the same transients are ~0.6 GB.
+    gch = next(c for c in range(min(65536, blk), 0, -1) if blk % c == 0)
+    n_ch = blk // gch
+
+    def gen_chunk(i, j, centers):
+        """f32 normalized rows [i*blk + j*gch, +gch) — keyed, same every call."""
+        idx = i * n_ch + j
+        which = jax.random.randint(
+            jax.random.fold_in(which_key, idx), (gch,), 0, n_centers
+        )
+        x = centers[which] + sigma * jax.random.normal(
+            jax.random.fold_in(gen_key, idx), (gch, d), jnp.float32
+        )
+        return x / jnp.linalg.norm(x, axis=1, keepdims=True)
 
     def gen_block(i, centers=None):
         """Clustered bf16 corpus block i — same rows every call (keyed)."""
         c = _centers if centers is None else centers
-        kb = jax.random.fold_in(key, i)
-        which = jax.random.randint(
-            jax.random.fold_in(which_key, i), (blk,), 0, n_centers
-        )
-        x = c[which] + sigma * jax.random.normal(kb, (blk, d), jnp.float32)
-        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
-        return x.astype(jnp.bfloat16)
+        return jax.lax.map(
+            lambda j: gen_chunk(i, j, c).astype(jnp.bfloat16),
+            jnp.arange(n_ch),
+        ).reshape(blk, d)
 
     # ---- phase 1: ingest (int8 store + exact GT), one compile ----------
     t0 = time.time()
@@ -214,19 +233,41 @@ def main() -> None:
         _write(args.out, results)
 
     # ---- phase 3: IVF-PQ4 build ----------------------------------------
+    # training rows are a fresh sample from the SAME mixture, not a slice of
+    # block 0: materializing a full 1M x 768 block outside jit costs ~6 GB
+    # of f32 transients on top of the resident 7.9 GB int8 store (measured
+    # RESOURCE_EXHAUSTED on v5e). faiss likewise trains on a sample.
     t0 = time.time()
     kc, kp = jax.random.split(jax.random.fold_in(key, 77))
     train_n = min(131072, blk)
-    train = gen_block(0)[:train_n].astype(jnp.float32)
+
+    @jax.jit
+    def gen_train(gen_centers):
+        which = jax.random.randint(
+            jax.random.fold_in(which_key, 777_001), (train_n,), 0, n_centers
+        )
+        x = gen_centers[which] + sigma * jax.random.normal(
+            jax.random.fold_in(key, 777_002), (train_n, d), jnp.float32
+        )
+        return x / jnp.linalg.norm(x, axis=1, keepdims=True)
+
+    train = gen_train(_centers)
     centroids, _ = kmeans(kc, train, args.nlist, iters=15)
     print(f"kmeans: {time.time() - t0:.0f}s", flush=True)
 
+    # [blk, nlist] f32 scores = 16.8 GB at 1M x 4096 — generate AND score
+    # per chunk so the transient is [gch, nlist] (1 GB at 64000)
     @jax.jit
     def assign_top8(i, cents, gen_centers):
-        x = gen_block(i, gen_centers).astype(jnp.float32)
-        sc = jnp.dot(x, cents.T, preferred_element_type=jnp.float32)
-        _, top8 = jax.lax.top_k(sc, 8)
-        return top8.astype(jnp.int32)
+        def chunk_top8(j):
+            sc = jnp.dot(
+                gen_chunk(i, j, gen_centers), cents.T,
+                preferred_element_type=jnp.float32,
+            )
+            _, top8 = jax.lax.top_k(sc, 8)
+            return top8.astype(jnp.int32)
+
+        return jax.lax.map(chunk_top8, jnp.arange(n_ch)).reshape(blk, 8)
 
     top8_host = np.concatenate(
         [np.asarray(assign_top8(i, centroids, _centers))
@@ -237,48 +278,83 @@ def main() -> None:
     # host layout with an 8-tier nearest-centroid cascade (ops/ivf.py::
     # layout_inverted_lists semantics; the full-distance fallback is
     # replaced by "any free list" and counted — rare at cap_factor 1.5)
+    # tier-major vectorized cascade (the sequential per-row loop is ~10M
+    # Python iterations): every row tries its home list first, then
+    # leftovers cascade to tier 2..8 — same semantics as
+    # ops/ivf.py::layout_inverted_lists up to within-tier ordering
     cap = int(np.ceil(args.cap_factor * n / args.nlist))
     cap = max(128, ((cap + 127) // 128) * 128)
     ids = np.full((args.nlist, cap), -1, np.int32)
-    sizes = np.zeros(args.nlist, np.int32)
+    sizes = np.zeros(args.nlist, np.int64)
     dest = np.full(n, -1, np.int64)  # row -> flat slot nlist*cap
-    parked = 0
-    for row in range(n):
-        for c in top8_host[row]:
-            if sizes[c] < cap:
-                ids[c, sizes[c]] = row
-                dest[row] = c * cap + sizes[c]
-                sizes[c] += 1
-                break
-        else:
-            parked += 1
-            c = int(np.argmin(sizes))
-            ids[c, sizes[c]] = row
-            dest[row] = c * cap + sizes[c]
-            sizes[c] += 1
+    remaining = np.arange(n, dtype=np.int64)
+    for t in range(top8_host.shape[1]):
+        if remaining.size == 0:
+            break
+        c = top8_host[remaining, t].astype(np.int64)
+        order = np.argsort(c, kind="stable")
+        cs = c[order]
+        rank = np.arange(cs.size) - np.searchsorted(cs, cs, side="left")
+        slot = sizes[cs] + rank
+        ok = slot < cap
+        rows_ok = remaining[order[ok]]
+        ids[cs[ok], slot[ok]] = rows_ok
+        dest[rows_ok] = cs[ok] * cap + slot[ok]
+        sizes += np.bincount(cs[ok], minlength=args.nlist)
+        remaining = remaining[order[~ok]]
+    parked = int(remaining.size)
+    for row in remaining:  # rare at cap_factor >= 2.5: any-free-list park
+        c = int(np.argmin(sizes))
+        ids[c, sizes[c]] = row
+        dest[row] = c * cap + sizes[c]
+        sizes[c] += 1
+    sizes = sizes.astype(np.int32)
     assign = top8_host[:, 0].copy()
     del top8_host
     print(f"layout: {time.time() - t0:.0f}s (parked {parked})", flush=True)
 
-    # residual PQ4 training on the block-0 sample
-    r_train = train - centroids[jnp.asarray(assign[:train_n])]
-    codebooks = train_pq(kp, r_train, args.m, iters=12, ksub=16)
+    # residual PQ4 training on the training sample (residual vs its own
+    # nearest centroid — identical to what encode applies per stored row)
+    @jax.jit
+    def train_residuals(tr, cents):
+        sc = jnp.dot(tr, cents.T, preferred_element_type=jnp.float32)
+        return tr - cents[jnp.argmax(sc, axis=1)]
+
+    codebooks = train_pq(
+        kp, train_residuals(train, centroids), args.m, iters=12, ksub=16
+    )
+    del train
 
     m_store = max(128, ((args.m + 127) // 128) * 128)
+    # small transfers FIRST, while HBM still has contiguous headroom
     assign_dev = jax.device_put(jnp.asarray(assign))
     dest_dev = jax.device_put(jnp.asarray(dest, jnp.int32))
+    ids_dev = jax.device_put(jnp.asarray(ids))
+    sizes_dev = jax.device_put(jnp.asarray(sizes))
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def encode_scatter(i, flat_codes, cents, cbooks, a_all, d_all, gen_centers):
-        x = gen_block(i, gen_centers).astype(jnp.float32)
-        a = jax.lax.dynamic_slice_in_dim(a_all, i * blk, blk)
-        r = x - cents[a]
-        codes = pq_encode(r, cbooks)  # [blk, m] u8
+        # generate + residual + encode PER CHUNK: whole-block f32
+        # residuals are ~6 GB of transients next to the resident int8
+        # store + code buckets (OOMs v5e); per-chunk it is [gch, d] f32
+        def chunk_codes(j):
+            a = jax.lax.dynamic_slice_in_dim(
+                a_all, i * blk + j * gch, gch
+            )
+            r = gen_chunk(i, j, gen_centers) - cents[a]
+            return pq_encode(r, cbooks)
+
+        codes = jax.lax.map(chunk_codes, jnp.arange(n_ch)).reshape(
+            blk, args.m
+        )
         codes = jnp.pad(codes, ((0, 0), (0, m_store - args.m)))
         dst = jax.lax.dynamic_slice_in_dim(d_all, i * blk, blk)
-        return flat_codes.at[dst].set(codes, mode="drop")
+        # scatter into the FINAL bucket shape: a flat buffer + end-of-build
+        # reshape costs a second 3.3 GB device copy next to the resident
+        # int8 store (measured RESOURCE_EXHAUSTED at cap_factor 2.5)
+        return flat_codes.at[dst // cap, dst % cap].set(codes, mode="drop")
 
-    flat_codes = jnp.zeros((args.nlist * cap, m_store), jnp.uint8)
+    flat_codes = jnp.zeros((args.nlist, cap, m_store), jnp.uint8)
     for i in range(n_blocks):
         flat_codes = encode_scatter(
             i, flat_codes, centroids, codebooks, assign_dev, dest_dev,
@@ -288,11 +364,10 @@ def main() -> None:
     listing = IVFPQListing(
         centroids=centroids,
         codebooks=codebooks,
-        code_buckets=flat_codes.reshape(args.nlist, cap, m_store),
-        ids=jax.device_put(jnp.asarray(ids)),
-        list_sizes=jax.device_put(jnp.asarray(sizes)),
+        code_buckets=flat_codes,
+        ids=ids_dev,
+        list_sizes=sizes_dev,
     )
-    del flat_codes
     print(f"ivfpq4 build total: {time.time() - t0:.0f}s", flush=True)
 
     # ---- phase 4: IVF-PQ4 ladder (+ exact-int8 shortlist re-score) ------
