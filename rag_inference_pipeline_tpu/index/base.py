@@ -108,6 +108,8 @@ class BaseIndex(abc.ABC):
 
 def save_npz(path: str, **arrays) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    tmp = path + ".tmp"
+    # name the temp file *.npz so np.savez never appends a second extension
+    # (its append-if-missing behavior made the rename target ambiguous)
+    tmp = path + ".tmp.npz"
     np.savez(tmp, **arrays)
-    os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, path)
+    os.replace(tmp, path)

@@ -68,6 +68,17 @@ class IndexComponent:
 
         if self.settings.index_path:
             self.index = BaseIndex.load(self.settings.index_path, self.mesh)
+            from .spmd import SPMDIndexProxy, is_front_door, is_spmd
+
+            if is_spmd():
+                if not is_front_door():
+                    # worker process: NO local warmup searches — on a
+                    # multi-host mesh a search is a collective program,
+                    # so only the front door's broadcasts may initiate
+                    # one (serve/spmd.py). The worker executes them from
+                    # worker_loop(), entered by serve.runtime.
+                    return
+                self.index = SPMDIndexProxy(self.index)
             self.index.warmup(self.settings.retrieval_k)
             if self.settings.warmup_buckets:
                 # pre-compile every (batch-bucket, ladder-k) search program so
@@ -92,6 +103,9 @@ class IndexComponent:
 
     def unload(self) -> None:
         if self.index is not None:
+            stop = getattr(self.index, "stop_workers", None)
+            if stop is not None:  # SPMD front door: release worker loops
+                stop()
             self.index.unload()
             self.index = None
 

@@ -59,6 +59,25 @@ async def serve(settings: Optional[Settings] = None) -> None:
     setup_logging(settings)
     setup_tracing(settings)
     app = build_app(settings)
+
+    from .spmd import is_front_door, is_spmd
+
+    if is_spmd() and not is_front_door():
+        # SPMD worker host: no HTTP front door — execute the process-0
+        # broadcasts until OP_STOP, then stop components (serve/spmd.py)
+        from .http import REGISTRY_KEY
+        from .spmd import worker_loop
+
+        registry = app[REGISTRY_KEY]
+        idx_comp = registry.get_optional("index")
+        index = getattr(idx_comp, "index", None)
+        if index is None:
+            raise RuntimeError("SPMD worker host has no index component")
+        worker_loop(index)
+        await registry.stop_all()
+        registry.unload_all()
+        return
+
     runner = web.AppRunner(app)
     await runner.setup()
     site = web.TCPSite(runner, settings.listen_host, settings.listen_port)
