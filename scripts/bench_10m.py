@@ -21,8 +21,10 @@ fitting. This script demonstrates that regime on one chip:
   re-score of the shortlist against the flat codes (both indexes fit
   together: ~10 GB).
 
-Ladder: B in {1, 4, 32} (+128 for flat), nprobe in {32, 64, 128}.
-Writes artifacts/round3/bench_10m.json. Phases are resumable via --phase.
+Ladder: B in {1, 4, 32} (+128 for flat), nprobe in {32, 64, 128},
+rescore depth in {512, 2048} (recall was shortlist-bound at 512: 0.80
+measured vs a 0.96-0.99 layout candidate bound). Writes
+artifacts/round3/bench_10m.json.
 """
 
 from __future__ import annotations
@@ -54,7 +56,7 @@ def main() -> None:
     # neighbors, so the shortlist must be deep enough for the re-score to
     # do the final ranking (smoke showed 32 -> recall 0.4 with ALL GT rows
     # present in the probed buckets; 512 recovers them)
-    ap.add_argument("--rescore", type=int, default=512)
+    ap.add_argument("--rescores", default="512,2048")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes on CPU (correctness of the harness)")
     ap.add_argument("--out", default="artifacts/round3/bench_10m.json")
@@ -80,7 +82,7 @@ def main() -> None:
     if args.smoke:
         args.n, args.block, args.nlist, args.nq = 131072, 32768, 64, 32
         args.flat_batches, args.pq_batches = "1,8", "1,8"
-        args.nprobes, args.rescore = "8,16", 256
+        args.nprobes, args.rescores = "8,16", "256"
     n, d, blk, k = args.n, args.d, args.block, args.k
     assert n % blk == 0 and blk % 8192 == 0
     n_blocks = n // blk
@@ -205,7 +207,7 @@ def main() -> None:
             for j in range(len(rows))
         ]))
 
-    # ---- phase 2: flat-int8 ladder -------------------------------------
+    # ---- phase 2: flat-int8 ladder ("" skips: already-measured rerun) ---
     # device arrays are passed to time_inprogram's scanner via `extra`,
     # never closed over (PERF_NOTES "Tunnel hazard")
     mm = False  # native int8 MXU dot (round-3 default; PERF_NOTES)
@@ -216,7 +218,7 @@ def main() -> None:
             ntotal=n, mm_bf16=mm, interpret=interpret,
         )
 
-    for b in (int(x) for x in args.flat_batches.split(",")):
+    for b in (int(x) for x in args.flat_batches.split(",") if x):
         rows = np.arange(min(b, args.nq))
         _, ids = flat_search(jnp.asarray(q_np[rows]), db_i8, scale)
         rec = recall_against_gt(np.asarray(ids), rows)
@@ -389,9 +391,9 @@ def main() -> None:
     print(f"layout candidate bounds: {bounds}", flush=True)
     scale_f = jax.device_put(scale)
 
-    def pq_search(qq, lst, dbi, sc, *, nprobe):
+    def pq_search(qq, lst, dbi, sc, *, nprobe, rescore):
         s, ids_ = ivfpq4_search_dedup(
-            lst, qq, args.rescore, nprobe=nprobe, interpret=interpret,
+            lst, qq, rescore, nprobe=nprobe, interpret=interpret,
         )
         cand = jnp.take(dbi, jnp.clip(ids_, 0), axis=0)
         exact = jnp.einsum(
@@ -404,9 +406,15 @@ def main() -> None:
         top, sel = jax.lax.top_k(exact, k)
         return top, jnp.take_along_axis(ids_, sel, axis=1)
 
-    for b in (int(x) for x in args.pq_batches.split(",")):
-        for nprobe in (int(x) for x in args.nprobes.split(",")):
-            search = functools.partial(pq_search, nprobe=nprobe)
+    rescores = [int(x) for x in args.rescores.split(",") if x]
+    for b in (int(x) for x in args.pq_batches.split(",") if x):
+        for nprobe, rescore in (
+            (np_, rs) for np_ in (int(x) for x in args.nprobes.split(","))
+            for rs in rescores
+        ):
+            search = functools.partial(
+                pq_search, nprobe=nprobe, rescore=rescore
+            )
             rows = np.arange(min(b, args.nq))
             try:
                 _, ids_ = search(
@@ -418,14 +426,15 @@ def main() -> None:
                     extra=(listing, db_i8, scale_f), reps=3,
                 )
             except Exception as e:  # noqa: BLE001
-                print(f"ivfpq4 B={b} nprobe={nprobe} SKIP: "
+                print(f"ivfpq4 B={b} nprobe={nprobe} rs={rescore} SKIP: "
                       f"{str(e).splitlines()[0][:90]}", flush=True)
                 continue
             qps = b / (ms / 1e3)
-            print(f"ivfpq4 B={b:3d} nprobe={nprobe:4d}: {ms:8.2f} ms "
-                  f"recall {rec:.3f} QPS {qps:8.0f}", flush=True)
+            print(f"ivfpq4 B={b:3d} nprobe={nprobe:4d} rs={rescore:5d}: "
+                  f"{ms:8.2f} ms recall {rec:.3f} QPS {qps:8.0f}",
+                  flush=True)
             results["ivfpq4"].append({
-                "batch": b, "nprobe": nprobe, "rescore": args.rescore,
+                "batch": b, "nprobe": nprobe, "rescore": rescore,
                 "ms_inprogram": round(ms, 2), "recall": round(rec, 4),
                 "qps": round(qps, 1),
             })
