@@ -152,7 +152,10 @@ def main() -> None:
     else:
         cfg = QwenConfig.qwen25_05b()
     dtype = jnp.float32 if args.smoke else jnp.bfloat16
+    print("init params...", flush=True)
     params = init_qwen_params(jax.random.key(0), cfg, dtype)
+    jax.block_until_ready(params)
+    print("params ready", flush=True)
     b, t, max_new, gamma = args.batch, args.prompt_len, args.max_new, args.gamma
     eos = -1  # never fires: every run decodes the full max_new budget
     rng = np.random.default_rng(0)
@@ -164,6 +167,7 @@ def main() -> None:
     cache_len = t + max_new
 
     # median tunnel RTT for the fetch-protocol correction
+    print("measuring rtt...", flush=True)
     rtts = []
     for _ in range(5):
         t0 = time.time()
@@ -172,6 +176,7 @@ def main() -> None:
     rtt = sorted(rtts)[len(rtts) // 2]
 
     def timed(fn, tag):
+        print(f"compiling {tag}...", flush=True)
         fn(prompts[-1])  # warm/compile
         t0 = time.time()
         outs = []
@@ -192,12 +197,15 @@ def main() -> None:
         run_engine_ab(args, params, cfg, rng, results, cache_len)
         return
 
-    # greedy baseline (the reference-semantics decode)
+    # greedy baseline (the reference-semantics decode). params is a jit
+    # ARGUMENT, never a partial-bound closure: closed-over device arrays
+    # ship as HLO constants to the remote compiler and hang it at 0.5B
+    # (PERF_NOTES "Tunnel hazard")
     greedy_fn = jax.jit(partial(
-        greedy_generate, params, cfg, attn_mask=mask,
+        greedy_generate, cfg=cfg, attn_mask=mask,
         max_new_tokens=max_new, eos_token_id=eos, cache_len=cache_len,
-    ))
-    dt_g, _ = timed(lambda p: greedy_fn(input_ids=p), "greedy")
+    ), static_argnames=())
+    dt_g, _ = timed(lambda p: greedy_fn(params, input_ids=p), "greedy")
     results["points"].append({
         "mode": "greedy", "ms_total": round(dt_g * 1e3, 1),
         "ms_per_token": round(dt_g * 1e3 / max_new, 3),
@@ -205,18 +213,18 @@ def main() -> None:
 
     for p in [float(x) for x in args.ps.split(",")]:
         spec_fn = jax.jit(partial(
-            ngram_speculative_generate, params, cfg, attn_mask=mask,
+            ngram_speculative_generate, cfg=cfg, attn_mask=mask,
             max_new_tokens=max_new, gamma=gamma, eos_token_id=eos,
             cache_len=cache_len, inject_accept_p=p,
             inject_key=jax.random.key(7),
         ))
 
         def run(pr, fn=spec_fn):
-            toks, kbar = fn(input_ids=pr)
+            toks, kbar = fn(params, input_ids=pr)
             return toks
 
         # measure k-bar (mean committed tokens per verify call) once
-        _, kbar = spec_fn(input_ids=prompts[-1])
+        _, kbar = spec_fn(params, input_ids=prompts[-1])
         kbar = float(np.asarray(kbar))
         dt, _ = timed(run, f"inject p={p} (k-bar {kbar:.2f})")
         results["points"].append({
@@ -229,12 +237,14 @@ def main() -> None:
     # real prompt-lookup mode (k-bar ~ 1 on random weights — the honest
     # floor; with real weights the RAG workload sits between p=0.5 and 0.9)
     real_fn = jax.jit(partial(
-        ngram_speculative_generate, params, cfg, attn_mask=mask,
+        ngram_speculative_generate, cfg=cfg, attn_mask=mask,
         max_new_tokens=max_new, gamma=gamma, eos_token_id=eos,
         cache_len=cache_len,
     ))
-    _, kbar_real = real_fn(input_ids=prompts[-1])
-    dt_r, _ = timed(lambda p: real_fn(input_ids=p)[0], "real n-gram (random w)")
+    _, kbar_real = real_fn(params, input_ids=prompts[-1])
+    dt_r, _ = timed(
+        lambda p: real_fn(params, input_ids=p)[0], "real n-gram (random w)"
+    )
     results["points"].append({
         "mode": "ngram_real", "kbar": round(float(np.asarray(kbar_real)), 2),
         "ms_total": round(dt_r * 1e3, 1),
