@@ -82,6 +82,42 @@ async def compression_middleware(request: web.Request, handler):
     return resp
 
 
+_CORS_HEADERS = {
+    # reference parity: CORSMiddleware(allow_origins=['*'],
+    # allow_credentials=True, allow_methods=['*'], allow_headers=['*'])
+    # (reference runtime_factory.py:146-153)
+    "Access-Control-Allow-Origin": "*",
+    "Access-Control-Allow-Credentials": "true",
+    "Access-Control-Allow-Methods": "*",
+    "Access-Control-Allow-Headers": "*",
+}
+
+GZIP_MIN_SIZE = 1000  # reference GZipMiddleware(minimum_size=1000)
+
+
+@web.middleware
+async def cors_gzip_middleware(request: web.Request, handler):
+    """CORS headers + standard-gzip negotiation (reference
+    runtime_factory.py:146-158). gzip applies only when the pipeline's
+    zstd framing did not (zstd is strictly better between our own nodes;
+    gzip serves browser/generic clients)."""
+    if request.method == "OPTIONS":  # preflight
+        return web.Response(status=204, headers=_CORS_HEADERS)
+    # NB gzip/deflate REQUEST bodies are decompressed by aiohttp's server
+    # transparently; only response-side negotiation lives here
+    resp = await handler(request)
+    if isinstance(resp, web.Response):
+        resp.headers.update(_CORS_HEADERS)
+        if (
+            resp.body
+            and len(resp.body) >= GZIP_MIN_SIZE
+            and ENCODING_HEADER not in resp.headers
+            and "gzip" in request.headers.get("Accept-Encoding", "")
+        ):
+            resp.enable_compression(web.ContentCoding.gzip)
+    return resp
+
+
 @web.middleware
 async def error_middleware(request: web.Request, handler):
     """Error taxonomy -> status codes (reference gateway/api.py:145-176)."""
@@ -292,7 +328,11 @@ def create_app(
     registry: ComponentRegistry,
 ) -> web.Application:
     app = web.Application(
-        middlewares=[error_middleware, compression_middleware],
+        middlewares=[
+            cors_gzip_middleware,  # outermost, like the reference's CORS
+            error_middleware,
+            compression_middleware,
+        ],
         client_max_size=256 * 1024 * 1024,
     )
     app[SETTINGS_KEY] = settings

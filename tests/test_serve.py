@@ -449,3 +449,50 @@ class TestFusedPipeline:
             assert h["components"].get("fused_executor") is True
 
         run_app_test(s, check)
+
+
+class TestCorsGzip:
+    """CORS + standard-gzip middleware (reference runtime_factory.py:146-158)."""
+
+    def test_cors_headers_and_preflight(self):
+        s = tiny_settings()
+
+        async def check(client):
+            resp = await client.get("/health")
+            assert resp.headers["Access-Control-Allow-Origin"] == "*"
+            assert resp.headers["Access-Control-Allow-Credentials"] == "true"
+            pre = await client.options("/query")
+            assert pre.status == 204
+            assert pre.headers["Access-Control-Allow-Methods"] == "*"
+
+        run_app_test(s, check)
+
+    def test_gzip_round_trip(self):
+        import gzip as _gzip
+        import json as _json
+
+        s = tiny_settings()
+
+        async def check(client):
+            # gzip request body decompressed transparently
+            body = _gzip.compress(
+                _json.dumps({"query": "topic1 " * 200}).encode()
+            )
+            resp = await client.post(
+                "/query", data=body,
+                headers={"Content-Encoding": "gzip",
+                         "Content-Type": "application/json"},
+            )
+            assert resp.status == 200, await resp.text()
+            # large response gzip-encoded when the client accepts it
+            # (aiohttp's TestClient auto-decodes, so check the header)
+            resp2 = await client.post(
+                "/retrieve",
+                json={"items": [{"query": f"topic{i}"} for i in range(8)]},
+                headers={"Accept-Encoding": "gzip"},
+            )
+            assert resp2.status == 200
+            body2 = await resp2.json()
+            assert len(body2["results"]) == 8
+
+        run_app_test(s, check)
