@@ -20,6 +20,8 @@ from ..ops.ivf import (
     ivf_search,
     ivf_search_dedup,
     ivf_search_pallas,
+    shard_ivf_listing,
+    sharded_ivf_search,
 )
 from .base import BaseIndex, save_npz, storage_dtype
 
@@ -62,6 +64,19 @@ class IVFFlatIndex(BaseIndex):
         self.cap_factor = cap_factor
         self.mesh = mesh
         self._listing: Optional[IVFListing] = None
+        self._sharded = False
+
+    def _maybe_shard(self) -> None:
+        """dp-shard the inverted lists when a multi-device mesh is attached
+        (VERDICT round-2 #4: the capacity axis for >=10M corpora — IVF-Flat
+        bf16 at 10M x 768 is ~24 GB, ~6 GB/chip at dp=4)."""
+        if (
+            self.mesh is not None
+            and self.mesh.dp > 1
+            and self.nlist % self.mesh.dp == 0
+        ):
+            self._listing = shard_ivf_listing(self.mesh, self._listing)
+            self._sharded = True
 
     def train_add(
         self,
@@ -86,12 +101,18 @@ class IVFFlatIndex(BaseIndex):
             seed=seed,
         )
         self.ntotal = v.shape[0]
+        self._maybe_shard()
         self._loaded = True
 
     def search(self, queries, k: int):
         if not self._loaded:
             raise RuntimeError("ivf_flat index not loaded")
         q = self.validate_queries(queries)
+        if self._sharded:
+            return sharded_ivf_search(
+                self.mesh, self._listing, q, k,
+                nprobe=self.nprobe, metric=self.metric,
+            )
         # TPU + IP: batch-deduped cluster-major kernel (default) or the
         # per-query streaming scan; CPU / L2 / exact=True: XLA path (exact
         # within probed lists)
@@ -168,6 +189,7 @@ class IVFFlatIndex(BaseIndex):
                 list_sizes=jnp.asarray(z["list_sizes"]),
             )
             idx.ntotal = int(z["ntotal"])
+            idx._maybe_shard()
             idx._loaded = True
         return idx
 

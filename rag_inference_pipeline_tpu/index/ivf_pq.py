@@ -20,6 +20,8 @@ from ..ops.pq import (
     build_ivfpq,
     ivfpq4_search_dedup,
     ivfpq_search,
+    shard_ivfpq_listing,
+    sharded_ivfpq_search,
 )
 from ..ops.topk import NEG_INF
 from .base import BaseIndex, save_npz
@@ -63,6 +65,20 @@ class IVFPQIndex(BaseIndex):
         self._listing: Optional[IVFPQListing] = None
         self._vectors: Optional[jax.Array] = None  # only when rescore_k > 0
         self._rotation: Optional[jax.Array] = None  # [D, D] when opq
+        self._sharded = False
+
+    def _maybe_shard(self) -> None:
+        """dp-shard the code buckets when a multi-device mesh is attached
+        (VERDICT round-2 #4). Re-score vectors, when kept, stay replicated
+        — at the capacity scale this index exists for, run rescore_k=0 or
+        pair with a dp-sharded flat-int8 rescore store."""
+        if (
+            self.mesh is not None
+            and self.mesh.dp > 1
+            and self.nlist % self.mesh.dp == 0
+        ):
+            self._listing = shard_ivfpq_listing(self.mesh, self._listing)
+            self._sharded = True
 
     def train_add(
         self,
@@ -103,6 +119,7 @@ class IVFPQIndex(BaseIndex):
         if self.rescore_k > 0:
             self._vectors = jnp.asarray(v, jnp.bfloat16)
         self.ntotal = v.shape[0]
+        self._maybe_shard()
         self._loaded = True
 
     def search(self, queries, k: int):
@@ -112,7 +129,13 @@ class IVFPQIndex(BaseIndex):
         if self._rotation is not None:
             q = q.astype(jnp.float32) @ self._rotation
         interpret = jax.default_backend() == "cpu"
-        if self.ksub == 16:
+        if self._sharded:
+            def adc(qq, kk):
+                return sharded_ivfpq_search(
+                    self.mesh, self._listing, qq, kk,
+                    nprobe=self.nprobe, interpret=interpret,
+                )
+        elif self.ksub == 16:
             def adc(qq, kk):
                 return ivfpq4_search_dedup(
                     self._listing, qq, kk, nprobe=self.nprobe,
@@ -181,6 +204,7 @@ class IVFPQIndex(BaseIndex):
                 idx._rotation = jnp.asarray(z["rotation"], jnp.float32)
                 idx.opq = True
             idx.ntotal = int(z["ntotal"])
+            idx._maybe_shard()
             idx._loaded = True
         return idx
 

@@ -415,3 +415,100 @@ def ivf_search(
     k_eff = min(k, nprobe * cap)
     top_s, sel = jax.lax.top_k(flat_s, k_eff)
     return top_s, jnp.take_along_axis(flat_i, sel, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# dp-sharded IVF: inverted lists sharded over the mesh's dp axis.
+# ---------------------------------------------------------------------------
+
+
+def shard_ivf_listing(ctx, listing: IVFListing) -> IVFListing:
+    """Place an IVF listing with its lists sharded over dp.
+
+    Every per-list tensor (centroids, buckets, ids, list_sizes) shards on
+    dim 0; requires nlist % dp == 0 (build with an nlist the mesh
+    divides). This is the capacity axis: IVF-Flat bf16 at 10M x 768 is
+    ~24 GB — infeasible on one 16 GB chip, ~6 GB/chip at dp=4
+    (PERF_NOTES "Fused-pipeline memory headroom")."""
+    nlist = listing.buckets.shape[0]
+    if nlist % ctx.dp != 0:
+        raise ValueError(
+            f"nlist ({nlist}) must be divisible by mesh dp ({ctx.dp})"
+        )
+    rows = ctx.rows_dp
+    return IVFListing(
+        centroids=ctx.put(listing.centroids, rows),
+        buckets=ctx.put(listing.buckets, rows),
+        ids=ctx.put(listing.ids, rows),
+        list_sizes=ctx.put(listing.list_sizes, rows),
+    )
+
+
+def sharded_ivf_search(
+    ctx,
+    listing: IVFListing,
+    queries: jax.Array,
+    k: int,
+    *,
+    nprobe: int = 64,
+    nprobe_local: int = 0,
+    metric: str = "ip",
+) -> tuple[jax.Array, jax.Array]:
+    """IVF search over dp-sharded inverted lists (distributed-faiss shape).
+
+    Each shard owns nlist/dp lists AND their centroids; it independently
+    coarse-probes its own top-`nprobe_local` local lists and scans them
+    (stored ids are global, so no lift is needed), then the per-shard
+    top-k candidate sets all-gather over the mesh and merge identically
+    everywhere — the same collective-merge pattern as
+    ops/topk.py::sharded_topk (SURVEY.md section 2.6).
+
+    `nprobe_local` defaults to ceil(nprobe / dp): total probed lists match
+    the single-device budget (work parity). Because each shard probes its
+    LOCAL best lists rather than a slice of the global top-nprobe, the
+    probed union differs from faiss's by at most the inter-shard balance
+    of the coarse ranking — measured recall parity on clustered corpora
+    (tests/test_index.py dp=8 rows). Raise nprobe_local toward nprobe for
+    recall >= the unsharded search at dp x the scan cost.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..core.mesh import DP_AXIS
+
+    dp = ctx.dp
+    if nprobe_local <= 0:
+        nprobe_local = max(1, -(-nprobe // dp))
+    nlist = listing.buckets.shape[0]
+    nprobe_local = min(nprobe_local, nlist // dp)
+
+    def local(q, cents, buckets, ids, sizes):
+        loc = IVFListing(
+            centroids=cents, buckets=buckets, ids=ids, list_sizes=sizes
+        )
+        s, i = ivf_search(loc, q, k, nprobe=nprobe_local, metric=metric)
+        # pad to k when the local shard has fewer than k candidates
+        if s.shape[1] < k:
+            pad = k - s.shape[1]
+            s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=NEG_INF)
+            i = jnp.pad(i, ((0, 0), (0, pad)), constant_values=-1)
+        s = jnp.where(i >= 0, s, NEG_INF)
+        s_all = jax.lax.all_gather(s, DP_AXIS, axis=1, tiled=True)
+        i_all = jax.lax.all_gather(i, DP_AXIS, axis=1, tiled=True)
+        ms, sel = jax.lax.top_k(s_all, k)
+        return ms, jnp.take_along_axis(i_all, sel, axis=1)
+
+    fn = shard_map(
+        local,
+        mesh=ctx.mesh,
+        in_specs=(P(), P(DP_AXIS), P(DP_AXIS), P(DP_AXIS), P(DP_AXIS)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return fn(
+        queries.astype(jnp.float32),
+        listing.centroids,
+        listing.buckets,
+        listing.ids,
+        listing.list_sizes,
+    )

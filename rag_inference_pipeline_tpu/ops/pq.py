@@ -536,3 +536,103 @@ def ivfpq4_search_dedup(
     k_eff = min(k, n_slots * cap)
     top_s, sel = jax.lax.top_k(flat_s, k_eff)
     return top_s, jnp.take_along_axis(flat_i, sel, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# dp-sharded IVF-PQ: code buckets sharded over the mesh's dp axis.
+# ---------------------------------------------------------------------------
+
+
+def shard_ivfpq_listing(ctx, listing: IVFPQListing) -> IVFPQListing:
+    """Place an IVF-PQ listing with its lists sharded over dp.
+
+    Per-list tensors (centroids, code_buckets, ids, list_sizes) shard on
+    dim 0; codebooks replicate (tiny). PQ4 at 10M x 768 is ~3.3 GB of
+    codes incl. bucket padding — dp=4 brings the per-chip share under
+    1 GB next to a model (SURVEY.md section 2.6 capacity axis)."""
+    nlist = listing.code_buckets.shape[0]
+    if nlist % ctx.dp != 0:
+        raise ValueError(
+            f"nlist ({nlist}) must be divisible by mesh dp ({ctx.dp})"
+        )
+    rows = ctx.rows_dp
+    return IVFPQListing(
+        centroids=ctx.put(listing.centroids, rows),
+        codebooks=ctx.put(listing.codebooks),
+        code_buckets=ctx.put(listing.code_buckets, rows),
+        ids=ctx.put(listing.ids, rows),
+        list_sizes=ctx.put(listing.list_sizes, rows),
+    )
+
+
+def sharded_ivfpq_search(
+    ctx,
+    listing: IVFPQListing,
+    queries: jax.Array,
+    k: int,
+    *,
+    nprobe: int = 64,
+    nprobe_local: int = 0,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """IVF-PQ search over dp-sharded lists (distributed-faiss shape).
+
+    Same collective-merge pattern as ops/ivf.py::sharded_ivf_search: each
+    shard owns nlist/dp lists + their centroid slice, probes its local
+    top-`nprobe_local` (default ceil(nprobe/dp) — single-device work
+    parity), runs the shard-local ADC (PQ4 one-hot MXU kernel for
+    ksub=16, gather-ADC otherwise), and the per-shard top-k candidate
+    sets all-gather + merge identically on every device. Stored ids are
+    global. Exact re-score of the merged shortlist is the caller's job
+    (index/ivf_pq.py) — rescore vectors do not shard with the lists.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..core.mesh import DP_AXIS
+
+    dp = ctx.dp
+    if nprobe_local <= 0:
+        nprobe_local = max(1, -(-nprobe // dp))
+    nlist = listing.code_buckets.shape[0]
+    nprobe_local = min(nprobe_local, nlist // dp)
+    ksub = listing.codebooks.shape[1]
+
+    def local(q, cents, cbooks, cbuckets, ids, sizes):
+        loc = IVFPQListing(
+            centroids=cents, codebooks=cbooks, code_buckets=cbuckets,
+            ids=ids, list_sizes=sizes,
+        )
+        if ksub == 16:
+            s, i = ivfpq4_search_dedup(
+                loc, q, k, nprobe=nprobe_local, interpret=interpret
+            )
+        else:
+            s, i = ivfpq_search(loc, q, k, nprobe=nprobe_local)
+        if s.shape[1] < k:
+            pad = k - s.shape[1]
+            s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+            i = jnp.pad(i, ((0, 0), (0, pad)), constant_values=-1)
+        s = jnp.where(i >= 0, s, -jnp.inf)
+        s_all = jax.lax.all_gather(s, DP_AXIS, axis=1, tiled=True)
+        i_all = jax.lax.all_gather(i, DP_AXIS, axis=1, tiled=True)
+        ms, sel = jax.lax.top_k(s_all, k)
+        return ms, jnp.take_along_axis(i_all, sel, axis=1)
+
+    fn = shard_map(
+        local,
+        mesh=ctx.mesh,
+        in_specs=(
+            P(), P(DP_AXIS), P(), P(DP_AXIS), P(DP_AXIS), P(DP_AXIS),
+        ),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return fn(
+        queries.astype(jnp.float32),
+        listing.centroids,
+        listing.codebooks,
+        listing.code_buckets,
+        listing.ids,
+        listing.list_sizes,
+    )

@@ -207,6 +207,17 @@ def main() -> None:
             for j in range(len(rows))
         ]))
 
+    def recall_all(search_fn, b, *extra):
+        """Recall over ALL nq queries, searched in batches of b — at B=1
+        a single-row recall (the earlier protocol) is a 10-sample
+        statistic; this gives nq*k samples at every batch size."""
+        hits = []
+        for lo in range(0, args.nq - args.nq % b, b):
+            rows = np.arange(lo, lo + b)
+            _, ids = search_fn(jnp.asarray(q_np[rows]), *extra)
+            hits.append(recall_against_gt(np.asarray(ids), rows))
+        return float(np.mean(hits))
+
     # ---- phase 2: flat-int8 ladder ("" skips: already-measured rerun) ---
     # device arrays are passed to time_inprogram's scanner via `extra`,
     # never closed over (PERF_NOTES "Tunnel hazard")
@@ -219,9 +230,7 @@ def main() -> None:
         )
 
     for b in (int(x) for x in args.flat_batches.split(",") if x):
-        rows = np.arange(min(b, args.nq))
-        _, ids = flat_search(jnp.asarray(q_np[rows]), db_i8, scale)
-        rec = recall_against_gt(np.asarray(ids), rows)
+        rec = recall_all(flat_search, b, db_i8, scale)
         ms = time_inprogram(
             flat_search, variants_for(b), extra=(db_i8, scale), reps=3
         )
@@ -415,12 +424,8 @@ def main() -> None:
             search = functools.partial(
                 pq_search, nprobe=nprobe, rescore=rescore
             )
-            rows = np.arange(min(b, args.nq))
             try:
-                _, ids_ = search(
-                    jnp.asarray(q_np[rows]), listing, db_i8, scale_f
-                )
-                rec = recall_against_gt(np.asarray(ids_), rows)
+                rec = recall_all(search, b, listing, db_i8, scale_f)
                 ms = time_inprogram(
                     search, variants_for(b),
                     extra=(listing, db_i8, scale_f), reps=3,

@@ -318,3 +318,93 @@ class TestIVFDedupGate:
         # force a tiny budget: serving-size batch must fall back
         idx._DEDUP_BYTES_BUDGET = 1 << 16
         assert not idx._dedup_fits(128)
+
+
+def _clustered_corpus(rng, n=4096, d=32, n_centers=64, spread=0.4):
+    """ANN-realistic clustered rows (IVF recall on UNIFORM random data is
+    probing-bound by construction — artifacts/round3/ivf_oracle.json)."""
+    centers = rng.standard_normal((n_centers, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    which = rng.integers(0, n_centers, n)
+    x = centers[which] + (spread / np.sqrt(d)) * rng.standard_normal(
+        (n, d)
+    ).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x
+
+
+class TestShardedIVF:
+    """dp-sharded inverted lists (round-2 VERDICT #4): each shard owns
+    nlist/dp lists + centroids, probes locally, all-gather-merges."""
+
+    def test_ivf_flat_dp8_recall_parity(self, rng, mesh_dp8):
+        x = _clustered_corpus(rng)
+        q = x[:16] + 0.01 * rng.standard_normal((16, 32)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+        ref = IVFFlatIndex(32, nlist=64, nprobe=16, dtype="float32")
+        ref.train_add(x, train_size=2048, iters=8)
+        sh = IVFFlatIndex(32, nlist=64, nprobe=16, dtype="float32",
+                          mesh=mesh_dp8)
+        sh.train_add(x, train_size=2048, iters=8)
+        assert sh._sharded
+
+        oracle = oracle_ids(q, x, 10)
+        def recall(ids):
+            return np.mean([
+                len(set(np.asarray(ids)[i]) & set(oracle[i])) / 10
+                for i in range(len(q))
+            ])
+
+        _, i_ref = ref.search(q, 10)
+        _, i_sh = sh.search(q, 10)
+        r_ref, r_sh = recall(i_ref), recall(i_sh)
+        # balanced local probing (ceil(nprobe/dp) per shard) must track the
+        # global top-nprobe within a few points on clustered data
+        assert r_sh >= r_ref - 0.1, (r_sh, r_ref)
+        assert r_sh >= 0.8, r_sh
+
+    def test_ivf_flat_dp8_ids_valid(self, rng, mesh_dp8):
+        x = _clustered_corpus(rng, n=1024)
+        sh = IVFFlatIndex(32, nlist=64, nprobe=64, dtype="float32",
+                          mesh=mesh_dp8)
+        sh.train_add(x, train_size=1024, iters=6)
+        s, i = sh.search(x[:4], 8)
+        i = np.asarray(i)
+        assert ((i >= -1) & (i < 1024)).all()
+        # full-probe search must find the queries themselves
+        assert all(j in set(i[j].tolist()) for j in range(4))
+
+    def test_ivf_pq4_dp8_search(self, rng, mesh_dp8):
+        x = _clustered_corpus(rng, n=2048, d=64)
+        q = x[:8]
+        sh = IVFPQIndex(64, nlist=64, m=8, ksub=16, nprobe=32,
+                        rescore_k=64, mesh=mesh_dp8)
+        sh.train_add(x, train_size=2048, kmeans_iters=6, pq_iters=6)
+        assert sh._sharded
+        oracle = oracle_ids(q, x, 10)
+        _, i_sh = sh.search(q, 10)
+        rec = np.mean([
+            len(set(np.asarray(i_sh)[j]) & set(oracle[j])) / 10
+            for j in range(len(q))
+        ])
+        assert rec >= 0.6, rec  # ADC+rescore on tiny PQ4; sanity floor
+
+    def test_sharding_requires_divisible_nlist(self, rng, mesh_dp8):
+        x = _clustered_corpus(rng, n=512)
+        idx = IVFFlatIndex(32, nlist=30, nprobe=8, dtype="float32",
+                           mesh=mesh_dp8)
+        idx.train_add(x, train_size=512, iters=4)
+        assert not idx._sharded  # 30 % 8 != 0 -> stays replicated
+
+    def test_ivf_flat_sharded_save_load(self, rng, mesh_dp8, tmp_path):
+        x = _clustered_corpus(rng, n=1024)
+        sh = IVFFlatIndex(32, nlist=64, nprobe=16, dtype="float32",
+                          mesh=mesh_dp8)
+        sh.train_add(x, train_size=1024, iters=6)
+        p = str(tmp_path / "ivf_sharded.npz")
+        sh.save(p)
+        back = BaseIndex.load(p, mesh=mesh_dp8)
+        assert back._sharded and back.ntotal == 1024
+        s, i = back.search(x[:4], 5)
+        assert np.asarray(i).shape == (4, 5)
