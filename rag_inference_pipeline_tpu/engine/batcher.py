@@ -140,6 +140,32 @@ class BatchScheduler:
                 self._timer = asyncio.create_task(self._timer_task())
         return await fut
 
+    async def enqueue_many(self, items: Sequence[Any]) -> list:
+        """Enqueue a whole request's items under ONE lock acquisition.
+
+        Per-item enqueue costs two event-loop switches per item on the
+        lock; at device-scale request batches (512 items) that's ~10 ms
+        of pure scheduling per request (PERF_NOTES "Serve-layer
+        ceiling"). Semantics match a loop of enqueue(): full buckets
+        flush as they fill, the remainder waits on the timer, results
+        and per-item exceptions map 1:1."""
+        loop = asyncio.get_running_loop()
+        futs: list[asyncio.Future] = [loop.create_future() for _ in items]
+        async with self._lock:
+            if self._closed:
+                raise RuntimeError(f"scheduler {self.name} is stopped")
+            for item, fut in zip(items, futs):
+                self._batch.items.append(item)
+                self._batch.futures.append(fut)
+                if len(self._batch.items) >= self.batch_size:
+                    self._flush_locked("full")
+            depth = len(self._batch.items)
+            self.policy.observe(depth)
+            self._m_depth.set(depth)
+            if self._batch.items and self._timer is None:
+                self._timer = asyncio.create_task(self._timer_task())
+        return list(await asyncio.gather(*futs))
+
     async def _timer_task(self) -> None:
         try:
             await asyncio.sleep(self.policy.current_delay())

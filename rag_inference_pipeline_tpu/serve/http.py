@@ -201,45 +201,91 @@ async def handle_retrieve(request: web.Request) -> web.Response:
         import numpy as _np
 
         raw = _b64.b64decode(req.embeddings_b64)
-        want = len(req.items) * s.index_dim * 4
-        if len(raw) != want:
+        row = s.index_dim * 4
+        if req.items is not None and len(raw) != len(req.items) * row:
             raise ValueError(
                 f"embeddings_b64: {len(raw)} bytes != "
-                f"{len(req.items)} items x {s.index_dim} dim x f32 ({want})"
+                f"{len(req.items)} items x {s.index_dim} dim x f32"
+            )
+        if req.items is None and (len(raw) == 0 or len(raw) % row != 0):
+            raise ValueError(
+                f"embeddings_b64: {len(raw)} bytes is not a non-zero "
+                f"multiple of {s.index_dim} dim x f32"
             )
         batch_emb = _np.frombuffer(raw, _np.float32).reshape(
-            len(req.items), s.index_dim
+            -1, s.index_dim
         )
-    for i, it in enumerate(req.items):
-        if it.embedding is not None and len(it.embedding) != s.index_dim:
-            raise ValueError(
-                f"item {i}: embedding dim {len(it.embedding)} != "
-                f"index dim {s.index_dim}"
-            )
+    if req.items is not None:
+        for i, it in enumerate(req.items):
+            if it.embedding is not None and len(it.embedding) != s.index_dim:
+                raise ValueError(
+                    f"item {i}: embedding dim {len(it.embedding)} != "
+                    f"index dim {s.index_dim}"
+                )
     sched: BatchScheduler = request.app[SCHEDULERS_KEY]["retrieval"]
-    items = [
-        {
-            "query": it.query,
-            "embedding": (
-                batch_emb[i] if batch_emb is not None and it.embedding is None
-                else it.embedding
-            ),
-            "k": it.k,
-            "rerank": req.rerank,
-        }
-        for i, it in enumerate(req.items)
-    ]
-    results = await asyncio.gather(*(sched.enqueue(it) for it in items))
+    if req.items is None:
+        # itemless binary batch: one dict per embedding row, shared k
+        items = [
+            {"query": "", "embedding": batch_emb[i], "k": req.k,
+             "rerank": req.rerank}
+            for i in range(batch_emb.shape[0])
+        ]
+    else:
+        items = [
+            {
+                "query": it.query,
+                "embedding": (
+                    batch_emb[i]
+                    if batch_emb is not None and it.embedding is None
+                    else it.embedding
+                ),
+                "k": it.k if it.k is not None else req.k,
+                "rerank": req.rerank,
+            }
+            for i, it in enumerate(req.items)
+        ]
+    results = await sched.enqueue_many(items)
+    if req.response_format == "b64":
+        return web.json_response(_pack_results_b64(list(results)))
     return web.json_response(
         RetrieveResponse(results=list(results)).model_dump(exclude_none=True)
     )
+
+
+def _pack_results_b64(results: list[dict]) -> dict:
+    """Binary id_only response: ids int32 [B, k] (pad -1) + scores f32
+    [B, k] (pad 0) base64'd — ~3 us vs ~40 ms of pydantic + float
+    formatting for 512 rows (PERF_NOTES "Serve-layer ceiling"). Document
+    payload modes keep the JSON shape (docs don't pack into rectangles)."""
+    import base64 as _b64
+
+    import numpy as _np
+
+    if any("documents" in r or "compressed_docs" in r for r in results):
+        raise ValueError(
+            "response_format='b64' requires documents_payload_mode=id_only"
+        )
+    b = len(results)
+    k = max((len(r["ids"]) for r in results), default=0)
+    ids = _np.full((b, k), -1, _np.int32)
+    scores = _np.zeros((b, k), _np.float32)
+    for i, r in enumerate(results):
+        m = len(r["ids"])
+        ids[i, :m] = r["ids"]
+        scores[i, :m] = r["scores"]
+    return {
+        "count": b,
+        "k": k,
+        "ids_b64": _b64.b64encode(ids.tobytes()).decode(),
+        "scores_b64": _b64.b64encode(scores.tobytes()).decode(),
+    }
 
 
 async def handle_generate(request: web.Request) -> web.Response:
     req = GenerateRequest.model_validate(await _read_json(request))
     sched: BatchScheduler = request.app[SCHEDULERS_KEY]["generation"]
     items = [it.model_dump(exclude_none=True) for it in req.items]
-    results = await asyncio.gather(*(sched.enqueue(it) for it in items))
+    results = await sched.enqueue_many(items)
     return web.json_response(
         GenerateResponse(results=list(results)).model_dump()
     )

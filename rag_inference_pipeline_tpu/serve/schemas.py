@@ -13,7 +13,7 @@ import base64
 import uuid
 from typing import Any, Optional
 
-from pydantic import BaseModel, Field, field_validator
+from pydantic import BaseModel, Field, field_validator, model_validator
 
 
 class Document(BaseModel):
@@ -58,8 +58,18 @@ class RetrieveItem(BaseModel):
 
 
 class RetrieveRequest(BaseModel):
-    items: list[RetrieveItem]
+    # `items` may be omitted when embeddings_b64 carries the batch: the
+    # count comes from the byte length and every item takes `k` below —
+    # at batch 512 even validating 512 {"k": 10} stubs costs ~20 ms of
+    # pydantic, half the fast path's host tax (PERF_NOTES "Serve-layer
+    # ceiling")
+    items: Optional[list[RetrieveItem]] = None
     rerank: bool = False
+    k: Optional[int] = None  # default k for itemless binary requests
+    # response wire format: "json" (reference parity) or "b64" (id_only
+    # only: ids int32 [B, k] + scores f32 [B, k], base64 — the
+    # msgspec/orjson-analog binary path, reference rpc_client.py:122-126)
+    response_format: str = "json"
     # binary batch embeddings: base64 of little-endian float32
     # [len(items), dim] row-major. The JSON-float-list path costs ~10x in
     # parse + validate at batch 512 (the serve-layer tax the reference paid
@@ -73,6 +83,19 @@ class RetrieveRequest(BaseModel):
         if v is not None:
             base64.b64decode(v, validate=True)
         return v
+
+    @field_validator("response_format")
+    @classmethod
+    def _check_fmt(cls, v):
+        if v not in ("json", "b64"):
+            raise ValueError("response_format must be 'json' or 'b64'")
+        return v
+
+    @model_validator(mode="after")
+    def _check_batch(self):
+        if self.items is None and self.embeddings_b64 is None:
+            raise ValueError("either items or embeddings_b64 is required")
+        return self
 
 
 class RetrieveResultItem(BaseModel):

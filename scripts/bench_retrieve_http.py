@@ -36,10 +36,24 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def build_index(args) -> str:
-    """Build (once) and cache the int8 flat index artifact."""
+    """Build (once) and cache the int8 flat index artifact.
+
+    Runs in a SUBPROCESS when called without --build-inner: the tunneled
+    TPU accepts one JAX client at a time, so a parent that initialized
+    JAX for the build would starve the server subprocess it spawns next
+    (observed: server dies silently at backend init)."""
     os.makedirs(args.workdir, exist_ok=True)
     path = os.path.join(args.workdir, f"flat_i8_{args.n}.npz")
     if os.path.exists(path):
+        return path
+    if not args.build_inner:
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--build-inner",
+             "--n", str(args.n), "--d", str(args.d),
+             "--workdir", args.workdir]
+            + (["--smoke"] if args.smoke else []),
+            check=True, cwd=REPO,
+        )
         return path
     from rag_inference_pipeline_tpu.core.bootstrap import bootstrap
 
@@ -97,12 +111,17 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=8123)
     ap.add_argument("--workdir", default="artifacts/retr_http")
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--build-inner", action="store_true",
+                    help="internal: build the index artifact and exit")
+    ap.add_argument("--server-log", default="/tmp/retr_http_server.log")
     ap.add_argument("--out", default="artifacts/round3/retrieve_http.json")
     args = ap.parse_args()
     if args.smoke:
         args.n, args.batches, args.requests = 20_000, "8,32", 6
 
     index_path = build_index(args)
+    if args.build_inner:
+        return
 
     env = os.environ.copy()
     env.update({
@@ -121,7 +140,7 @@ def main() -> None:
     server = subprocess.Popen(
         [sys.executable, "-m", "rag_inference_pipeline_tpu.serve.runtime"],
         env=env, cwd=REPO,
-        stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT,
+        stdout=open(args.server_log, "w"), stderr=subprocess.STDOUT,
     )
     url = f"http://127.0.0.1:{args.port}"
     try:
@@ -129,6 +148,11 @@ def main() -> None:
 
         deadline = time.time() + 1800
         while time.time() < deadline:
+            if server.poll() is not None:
+                raise RuntimeError(
+                    f"server exited rc={server.returncode}; "
+                    f"see {args.server_log}"
+                )
             try:
                 with urllib.request.urlopen(url + "/health", timeout=5) as r:
                     if r.status == 200:
@@ -146,7 +170,7 @@ def main() -> None:
                 rng.standard_normal((b, args.d)).astype(np.float32)
                 for _ in range(args.requests)
             ]
-            for mode in ("json", "b64"):
+            for mode in ("json", "b64", "bin"):
                 if mode == "json":
                     payloads = [{
                         "items": [
@@ -154,9 +178,17 @@ def main() -> None:
                             for i in range(b)
                         ],
                     } for e in embs]
-                else:
+                elif mode == "b64":
                     payloads = [{
                         "items": [{"k": args.k}] * b,
+                        "embeddings_b64": base64.b64encode(
+                            e.tobytes()
+                        ).decode(),
+                    } for e in embs]
+                else:  # bin: itemless binary request + binary response
+                    payloads = [{
+                        "k": args.k,
+                        "response_format": "b64",
                         "embeddings_b64": base64.b64encode(
                             e.tobytes()
                         ).decode(),

@@ -41,6 +41,37 @@ class TestBatchScheduler:
 
         run(main())
 
+    def test_enqueue_many_semantics(self):
+        """One lock acquisition for a whole request: full buckets flush as
+        they fill, remainder rides the timer, order and per-item errors
+        match a loop of enqueue()."""
+        async def main():
+            seen = []
+
+            async def fn(items):
+                seen.append(list(items))
+                return [i * 10 for i in items]
+
+            s = BatchScheduler(fn, batch_size=4, timeout_s=0.01, name="tm",
+                               adaptive=False)
+            res = await s.enqueue_many(list(range(10)))
+            assert res == [i * 10 for i in range(10)]
+            # two full buckets + a timer flush of the remainder
+            assert [len(b) for b in seen] == [4, 4, 2]
+            # per-item exception passthrough
+            async def bad(items):
+                raise RuntimeError("boom")
+            s2 = BatchScheduler(bad, batch_size=8, timeout_s=0.01, name="tm2",
+                                adaptive=False)
+            with pytest.raises(RuntimeError):
+                await s2.enqueue_many([1, 2])
+            await s.stop()
+            await s2.stop()
+            with pytest.raises(RuntimeError):
+                await s.enqueue_many([1])
+
+        run(main())
+
     def test_flush_by_timeout(self):
         async def main():
             async def fn(items):

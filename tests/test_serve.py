@@ -238,6 +238,82 @@ class TestEndToEnd:
 
         run_app_test(s, check)
 
+    def test_retrieve_binary_wire_round_trip(self):
+        """Itemless binary request (embeddings_b64 + top-level k) +
+        response_format=b64 must return the same ids as the JSON wire,
+        packed as int32/f32 arrays (the serve-layer fast path —
+        PERF_NOTES 'Serve-layer ceiling')."""
+        import base64
+
+        s = tiny_settings(documents_payload_mode="id_only")
+
+        async def check(client):
+            rng = np.random.default_rng(5)
+            emb = rng.standard_normal((3, DIM)).astype(np.float32)
+            b64 = base64.b64encode(emb.tobytes()).decode()
+            resp = await client.post(
+                "/retrieve",
+                json={"k": 4, "response_format": "b64",
+                      "embeddings_b64": b64},
+            )
+            assert resp.status == 200, await resp.text()
+            body = await resp.json()
+            assert body["count"] == 3 and body["k"] == 4
+            ids = np.frombuffer(
+                base64.b64decode(body["ids_b64"]), np.int32
+            ).reshape(3, 4)
+            scores = np.frombuffer(
+                base64.b64decode(body["scores_b64"]), np.float32
+            ).reshape(3, 4)
+            assert (ids >= 0).all()
+            assert (np.diff(scores, axis=1) <= 1e-6).all()
+            # same ids as the json wire
+            resp = await client.post(
+                "/retrieve",
+                json={"items": [{"k": 4}] * 3, "embeddings_b64": b64},
+            )
+            json_ids = [r["ids"] for r in (await resp.json())["results"]]
+            assert ids.tolist() == json_ids
+            # neither items nor embeddings -> 400
+            resp = await client.post("/retrieve", json={"k": 4})
+            assert resp.status == 400
+            # bad response_format -> 400
+            resp = await client.post(
+                "/retrieve",
+                json={"k": 4, "embeddings_b64": b64,
+                      "response_format": "msgpack"},
+            )
+            assert resp.status == 400
+            # non-multiple byte count on itemless request -> 400
+            resp = await client.post(
+                "/retrieve",
+                json={"k": 4, "embeddings_b64": base64.b64encode(
+                    emb.tobytes()[:-4]).decode()},
+            )
+            assert resp.status == 400
+
+        run_app_test(s, check)
+
+    def test_retrieve_b64_response_rejected_with_documents(self):
+        """response_format=b64 only packs id_only results; with a full
+        document payload mode it must 400, not drop the docs."""
+        import base64
+
+        s = tiny_settings()  # payload mode: full
+
+        async def check(client):
+            rng = np.random.default_rng(6)
+            emb = rng.standard_normal((1, DIM)).astype(np.float32)
+            resp = await client.post(
+                "/retrieve",
+                json={"k": 3, "response_format": "b64",
+                      "embeddings_b64": base64.b64encode(
+                          emb.tobytes()).decode()},
+            )
+            assert resp.status == 400
+
+        run_app_test(s, check)
+
     def test_generate_direct(self):
         s = tiny_settings()
 
