@@ -20,9 +20,12 @@ disappear — documents never leave the process (SURVEY.md section 2.6).
 from __future__ import annotations
 
 import asyncio
+import base64
 import logging
 import re
 from typing import Any, Optional
+
+import numpy as np
 
 from ..core.config import Settings
 from ..serve.rpc import RPCClient
@@ -242,20 +245,33 @@ class Orchestrator:
         payload_items = [
             {"query": it["query"], "k": it.get("k")} for it in items
         ]
+        embs = None
         if self.embedder is not None and self.embedder.is_loaded:
             # gateway-local embedding (reference orchestrator.py:500-509)
             embs = await asyncio.get_running_loop().run_in_executor(
                 None, self.embedder.encode, [it["query"] for it in items]
             )
-            for p, e in zip(payload_items, embs):
-                p["embedding"] = [float(x) for x in e]
         if self.retrieval_executor is not None:
+            if embs is not None:
+                for p, e in zip(payload_items, embs):
+                    p["embedding"] = np.asarray(e, np.float32)
             return await asyncio.get_running_loop().run_in_executor(
                 None, self.retrieval_executor.process_batch, payload_items
             )
+        body: dict[str, Any] = {"items": payload_items}
+        if embs is not None:
+            # binary handoff: the JSON float-list wire costs ~0.55 ms/row
+            # in parse+pydantic on the receiving node (PERF_NOTES
+            # "Serve-layer ceiling"); this is the internal-RPC analog of
+            # the reference's msgspec encode (rpc_client.py:122-126)
+            body["embeddings_b64"] = base64.b64encode(
+                np.ascontiguousarray(
+                    np.asarray(embs, np.float32)
+                ).tobytes()
+            ).decode()
         resp = await self.rpc.post(
             f"{self.settings.retrieval_url}/retrieve",
-            {"items": payload_items},
+            body,
             target="retrieval",
         )
         results = resp["results"]

@@ -80,6 +80,50 @@ class TestOrchestrator:
         assert out["generated_response"] == "answer to what is up"
         assert out["request_id"] == "r1"
 
+    def test_local_embedding_ships_binary_over_rpc(self):
+        """A gateway with a local embedder must hand embeddings to the
+        retrieval peer as embeddings_b64 (one base64 f32 block), not
+        per-item JSON float lists (~0.55 ms/row parse tax on the peer —
+        PERF_NOTES 'Serve-layer ceiling')."""
+        import base64
+
+        import numpy as np
+
+        async def main():
+            rpc = make_rpc()
+            orig = rpc.post
+            bodies = []
+
+            async def spy(url, payload, target="peer"):
+                if "/retrieve" in url:
+                    bodies.append(payload)
+                return await orig(url, payload, target)
+
+            rpc.post = spy
+
+            class FakeEmbedder:
+                is_loaded = True
+
+                def encode(self, texts):
+                    return np.full((len(texts), 8), 0.5, np.float32)
+
+            orch = Orchestrator(
+                settings(), rpc=rpc, embedder=FakeEmbedder()
+            )
+            await orch.start()
+            await orch.process_query("binary wire check", "r9")
+            await orch.stop()
+            return bodies
+
+        bodies = run(main())
+        assert bodies, "retrieval RPC not exercised"
+        body = bodies[0]
+        emb = np.frombuffer(
+            base64.b64decode(body["embeddings_b64"]), np.float32
+        ).reshape(len(body["items"]), 8)
+        assert np.allclose(emb, 0.5)
+        assert all("embedding" not in it for it in body["items"])
+
     def test_query_cache_hit(self):
         async def main():
             calls = {"n": 0}
