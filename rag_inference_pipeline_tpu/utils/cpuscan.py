@@ -36,7 +36,15 @@ def load_lib() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
+        src = os.path.join(_NATIVE_DIR, "cpuscan.cc")
+        # rebuild when missing OR older than the source: the build uses
+        # -march=native, so a binary must never outlive its source (and
+        # native/build/ is gitignored, so a foreign-host binary can't
+        # arrive via git either)
+        if not os.path.exists(_LIB_PATH) or (
+            os.path.exists(src)
+            and os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)
+        ):
             subprocess.run(
                 ["make", "-C", os.path.abspath(_NATIVE_DIR)],
                 check=True,

@@ -39,7 +39,13 @@ def _load_native_lib() -> ctypes.CDLL:
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
+        src = os.path.join(_NATIVE_DIR, "docstore.cc")
+        # rebuild when missing OR older than the source (same staleness
+        # rule as utils/cpuscan.py — a binary never outlives its source)
+        if not os.path.exists(_LIB_PATH) or (
+            os.path.exists(src)
+            and os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)
+        ):
             subprocess.run(
                 ["make", "-C", os.path.abspath(_NATIVE_DIR)],
                 check=True,
