@@ -1,0 +1,128 @@
+"""Round-3 serve-layer depth: a dp-sharded IVF index behind the live HTTP
+app (round-2 VERDICT #4's sharding, exercised at the layer users touch),
+driven over the binary wire, and config-driven sharded-IVF construction
+through the component factory."""
+
+import base64
+
+import numpy as np
+
+from rag_inference_pipeline_tpu.core import make_mesh
+
+
+def _clustered(rng, n, d, n_centers=32, spread=0.4):
+    centers = rng.standard_normal((n_centers, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    which = rng.integers(0, n_centers, n)
+    x = centers[which] + (spread / np.sqrt(d)) * rng.standard_normal(
+        (n, d)
+    ).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x
+
+
+class TestShardedIVFBehindLiveApp:
+    def test_binary_wire_against_dp8_sharded_ivf(self):
+        """POST itemless embeddings_b64 + response_format=b64 to a live app
+        whose IVF-Flat index is dp=8-sharded on the fake mesh; the packed
+        ids must hit the brute-force oracle."""
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from rag_inference_pipeline_tpu.index import IVFFlatIndex
+        from rag_inference_pipeline_tpu.serve.factory import build_registry
+        from rag_inference_pipeline_tpu.serve.http import create_app
+        from tests.test_serve import (
+            DIM,
+            make_overrides,
+            single_node_profile,
+            tiny_settings,
+        )
+
+        s = tiny_settings(
+            documents_payload_mode="id_only", mesh_dp=8, mesh_tp=1
+        )
+        rng = np.random.default_rng(11)
+        ov = make_overrides(s, rng)
+        ctx = make_mesh(dp=8, tp=1)
+        x = _clustered(rng, 2048, DIM)
+        sharded = IVFFlatIndex(
+            DIM, nlist=64, nprobe=32, dtype="float32", mesh=ctx
+        )
+        sharded.train_add(x, train_size=2048, iters=8)
+        assert sharded._sharded
+        ov["index"].index = sharded
+
+        q = x[:8] + 0.01 * rng.standard_normal((8, DIM)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        oracle = np.argsort(-(q @ x.T), axis=1)[:, :5]
+
+        async def main():
+            registry = build_registry(s, single_node_profile(), overrides=ov)
+            app = create_app(s, single_node_profile(), registry)
+            client = TestClient(TestServer(app))
+            await client.start_server()
+            try:
+                resp = await client.post(
+                    "/retrieve",
+                    json={
+                        "k": 5,
+                        "response_format": "b64",
+                        "embeddings_b64": base64.b64encode(
+                            q.astype(np.float32).tobytes()
+                        ).decode(),
+                    },
+                )
+                assert resp.status == 200, await resp.text()
+                body = await resp.json()
+            finally:
+                await client.close()
+            return body
+
+        import asyncio
+
+        body = asyncio.new_event_loop().run_until_complete(main())
+        assert body["count"] == 8 and body["k"] == 5
+        ids = np.frombuffer(
+            base64.b64decode(body["ids_b64"]), np.int32
+        ).reshape(8, 5)
+        rec = np.mean(
+            [len(set(ids[i]) & set(oracle[i])) / 5 for i in range(8)]
+        )
+        assert rec >= 0.85, rec
+
+
+class TestFactoryBuildsShardedIVF:
+    def test_config_driven_sharded_ivf_from_artifact(self, tmp_path):
+        """index_kind=ivf_flat + a dp>1 mesh in Settings must come back
+        SHARDED through BaseIndex.load via the component factory path —
+        the config surface a multi-chip deployment actually uses."""
+        from rag_inference_pipeline_tpu.core import Settings
+        from rag_inference_pipeline_tpu.index import IVFFlatIndex
+        from rag_inference_pipeline_tpu.index.base import BaseIndex
+        from rag_inference_pipeline_tpu.serve.factory import IndexComponent
+
+        rng = np.random.default_rng(12)
+        x = _clustered(rng, 1024, 32)
+        idx = IVFFlatIndex(32, nlist=64, nprobe=16, dtype="float32")
+        idx.train_add(x, train_size=1024, iters=6)
+        path = str(tmp_path / "ivf.npz")
+        idx.save(path)
+
+        ctx = make_mesh(dp=8, tp=1)
+        s = Settings(
+            index_kind="ivf_flat", index_path=path, index_dim=32,
+            index_nlist=64, index_nprobe=16, index_pq_m=8,
+        )
+        comp = IndexComponent(s, ctx)
+        comp.load()
+        assert isinstance(comp.index, IVFFlatIndex)
+        assert comp.index._sharded
+        sc, ids = comp.index.search(x[:4], 5)
+        assert np.asarray(ids).shape == (4, 5)
+        assert all(
+            j in set(np.asarray(ids)[j].tolist()) for j in range(4)
+        )
+        comp.unload()
+        # replicated control: same artifact, no mesh
+        back = BaseIndex.load(path)
+        assert not back._sharded
