@@ -96,7 +96,8 @@ def _admit_spec(
     prompt_ids,  # [A, P]
     prompt_mask,  # [A, P]
     lane_ids,  # [A]
-    counts,  # [lanes] i32 committed-token counts (donated)
+    counts,  # [lanes] i32 committed-token counts (NOT donated: pipelined
+    #          _process_done may still be fetching the previous array)
     limits,  # [lanes] i32 per-lane max_new_tokens
     prompts,  # [lanes, pcap] i32 draft-source prompt rows
     prompt_len,  # [lanes] i32
@@ -179,7 +180,8 @@ def _segment_spec(
     tokens,  # [lanes] last committed token
     done,  # [lanes] bool
     emit_buf,  # [lanes, W] i32 (donated)
-    counts,  # [lanes] i32 committed-token counts (donated)
+    counts,  # [lanes] i32 committed-token counts (NOT donated — see the
+    #          donate_argnums comment above)
     limits,  # [lanes] i32 per-lane max_new_tokens
     prompts,  # [lanes, pcap] i32 draft-source prompt rows
     prompt_len,  # [lanes] i32

@@ -20,7 +20,6 @@ from ..ops.topk import (
     exact_topk,
     fused_topk,
     fused_topk_int8gs,
-    int8_mm_bf16_ok,
     quantize_global_int8,
     sharded_topk,
     sharded_topk_int8gs,

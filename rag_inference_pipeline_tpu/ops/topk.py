@@ -531,6 +531,12 @@ def binmax_partial_topk_int8gs(
     b = queries_i8.shape[0]
     if chunk % nbins != 0:
         raise ValueError(f"chunk ({chunk}) must be a multiple of nbins ({nbins})")
+    if mm_bf16 and not int8_mm_bf16_ok(d):
+        # the kernel's bit-exactness argument needs d*127^2 < 2^24
+        raise ValueError(
+            f"mm_bf16 is exact only for d <= "
+            f"{(1 << 24) // (127 * 127)}; got d={d} — use the int8 dot path"
+        )
     b_pad = _round_up(max(b, 32), 32)  # int8 sublane tile is 32
     n_pad = _round_up(n, chunk)
     if b_pad != b:
@@ -724,7 +730,6 @@ def sharded_topk_int8gs(
     n_real = ntotal if ntotal is not None else n_rows
     dp = ctx.dp
     shard_rows = n_rows // dp
-    d = db_i8_sharded.shape[1]
 
     use_rescore = rescore_db_sharded is not None
     if not use_rescore:

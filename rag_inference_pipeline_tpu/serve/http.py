@@ -82,15 +82,22 @@ async def compression_middleware(request: web.Request, handler):
     return resp
 
 
-_CORS_HEADERS = {
+def _cors_headers(request: web.Request) -> dict:
     # reference parity: CORSMiddleware(allow_origins=['*'],
     # allow_credentials=True, allow_methods=['*'], allow_headers=['*'])
-    # (reference runtime_factory.py:146-153)
-    "Access-Control-Allow-Origin": "*",
-    "Access-Control-Allow-Credentials": "true",
-    "Access-Control-Allow-Methods": "*",
-    "Access-Control-Allow-Headers": "*",
-}
+    # (reference runtime_factory.py:146-153). With credentials allowed
+    # the CORS spec forbids a literal '*' origin, so (like Starlette in
+    # this configuration) the request's Origin is echoed back when
+    # present, with Vary: Origin for caches.
+    origin = request.headers.get("Origin")
+    return {
+        "Access-Control-Allow-Origin": origin or "*",
+        "Access-Control-Allow-Credentials": "true",
+        "Access-Control-Allow-Methods": "*",
+        "Access-Control-Allow-Headers": "*",
+        **({"Vary": "Origin"} if origin else {}),
+    }
+
 
 GZIP_MIN_SIZE = 1000  # reference GZipMiddleware(minimum_size=1000)
 
@@ -101,13 +108,16 @@ async def cors_gzip_middleware(request: web.Request, handler):
     runtime_factory.py:146-158). gzip applies only when the pipeline's
     zstd framing did not (zstd is strictly better between our own nodes;
     gzip serves browser/generic clients)."""
-    if request.method == "OPTIONS":  # preflight
-        return web.Response(status=204, headers=_CORS_HEADERS)
+    if request.method == "OPTIONS" and (
+        "Access-Control-Request-Method" in request.headers
+    ):
+        # genuine preflight only; plain OPTIONS falls through to routing
+        return web.Response(status=204, headers=_cors_headers(request))
     # NB gzip/deflate REQUEST bodies are decompressed by aiohttp's server
     # transparently; only response-side negotiation lives here
     resp = await handler(request)
     if isinstance(resp, web.Response):
-        resp.headers.update(_CORS_HEADERS)
+        resp.headers.update(_cors_headers(request))
         if (
             resp.body
             and len(resp.body) >= GZIP_MIN_SIZE
@@ -200,7 +210,7 @@ async def handle_retrieve(request: web.Request) -> web.Response:
 
         import numpy as _np
 
-        raw = _b64.b64decode(req.embeddings_b64)
+        raw = _b64.b64decode(req.embeddings_b64, validate=True)
         row = s.index_dim * 4
         if req.items is not None and len(raw) != len(req.items) * row:
             raise ValueError(

@@ -78,24 +78,42 @@ async def serve(settings: Optional[Settings] = None) -> None:
         registry.unload_all()
         return
 
-    runner = web.AppRunner(app)
-    await runner.setup()
-    site = web.TCPSite(runner, settings.listen_host, settings.listen_port)
-    await site.start()
-    logger.info(
-        "listening on %s:%d", settings.listen_host, settings.listen_port
-    )
+    try:
+        runner = web.AppRunner(app)
+        await runner.setup()
+        site = web.TCPSite(runner, settings.listen_host, settings.listen_port)
+        await site.start()
+        logger.info(
+            "listening on %s:%d", settings.listen_host, settings.listen_port
+        )
 
-    stop = asyncio.Event()
-    loop = asyncio.get_running_loop()
-    for sig in (signal.SIGINT, signal.SIGTERM):
-        try:
-            loop.add_signal_handler(sig, stop.set)
-        except NotImplementedError:  # pragma: no cover — non-unix
-            pass
-    await stop.wait()
-    logger.info("shutdown signal received; draining")
-    await runner.cleanup()
+        stop = asyncio.Event()
+        loop = asyncio.get_running_loop()
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            try:
+                loop.add_signal_handler(sig, stop.set)
+            except NotImplementedError:  # pragma: no cover — non-unix
+                pass
+        await stop.wait()
+        logger.info("shutdown signal received; draining")
+        await runner.cleanup()
+    except BaseException:
+        # a front-door failure (port bind, serving crash) must not strand
+        # worker hosts inside their blocking broadcast loop — send OP_STOP
+        # before propagating so the whole deployment exits, not hangs
+        if is_spmd():
+            from .http import REGISTRY_KEY
+
+            idx_comp = app[REGISTRY_KEY].get_optional("index")
+            stop_fn = getattr(
+                getattr(idx_comp, "index", None), "stop_workers", None
+            )
+            if stop_fn is not None:
+                try:
+                    stop_fn()
+                except Exception:  # noqa: BLE001 — best-effort unblock
+                    logger.exception("failed to OP_STOP worker hosts")
+        raise
 
 
 def main() -> None:

@@ -80,8 +80,12 @@ class RetrieveRequest(BaseModel):
     @field_validator("embeddings_b64")
     @classmethod
     def _check_emb_b64(cls, v):
-        if v is not None:
-            base64.b64decode(v, validate=True)
+        # cheap shape check only — at batch 512 the payload is ~2 MB and a
+        # full decode here would double the handler's decode cost on the
+        # hot path; a bad charset raises binascii.Error (a ValueError ->
+        # 400 via error_middleware) at the handler's real decode
+        if v is not None and len(v) % 4 != 0:
+            raise ValueError("embeddings_b64 length must be a multiple of 4")
         return v
 
     @field_validator("response_format")

@@ -70,6 +70,7 @@ class SPMDIndexProxy:
     def __init__(self, index: Any) -> None:
         self._inner = index
         self._lock = threading.Lock()
+        self._stopped = False
 
     def __getattr__(self, name: str) -> Any:  # ntotal, dim, kind, ...
         return getattr(self._inner, name)
@@ -79,6 +80,9 @@ class SPMDIndexProxy:
         if q.ndim == 1:
             q = q[None, :]
         with self._lock:
+            if self._stopped:
+                # workers are gone; a broadcast now blocks forever
+                raise RuntimeError("index not ready: SPMD workers stopped")
             hdr = np.array(
                 [OP_SEARCH, q.shape[0], int(k), q.shape[1]], np.int32
             )
@@ -95,8 +99,15 @@ class SPMDIndexProxy:
         return time.time() - t0
 
     def stop_workers(self) -> None:
-        """Broadcast OP_STOP so worker processes exit their loops."""
+        """Broadcast OP_STOP so worker processes exit their loops.
+
+        Idempotent: once workers have exited, a second OP_STOP broadcast
+        would block forever waiting on departed peers (both the error
+        path in runtime.serve() and component unload call this)."""
         with self._lock:
+            if getattr(self, "_stopped", False):
+                return
+            self._stopped = True
             _broadcast(np.zeros(_HDR_LEN, np.int32))  # op 0 = stop
 
 

@@ -535,11 +535,32 @@ class TestCorsGzip:
 
         async def check(client):
             resp = await client.get("/health")
+            # no Origin header -> wildcard
             assert resp.headers["Access-Control-Allow-Origin"] == "*"
             assert resp.headers["Access-Control-Allow-Credentials"] == "true"
-            pre = await client.options("/query")
+            # credentialed clients need the origin ECHOED (spec forbids
+            # '*' with credentials) + Vary: Origin
+            resp = await client.get(
+                "/health", headers={"Origin": "http://app.example"}
+            )
+            assert (
+                resp.headers["Access-Control-Allow-Origin"]
+                == "http://app.example"
+            )
+            assert "Origin" in resp.headers.get("Vary", "")
+            # genuine preflight -> 204 with CORS headers
+            pre = await client.options(
+                "/query",
+                headers={
+                    "Origin": "http://app.example",
+                    "Access-Control-Request-Method": "POST",
+                },
+            )
             assert pre.status == 204
             assert pre.headers["Access-Control-Allow-Methods"] == "*"
+            # plain OPTIONS (no preflight headers) is NOT hijacked
+            plain = await client.options("/query")
+            assert plain.status in (404, 405)
 
         run_app_test(s, check)
 
