@@ -68,7 +68,7 @@ def build_artifact(tmp: str) -> None:
 
 
 def worker(rank: int, nprocs: int, port: int, tmp: str,
-           http_port: int) -> None:
+           http_port: int, mode: str = "ok") -> None:
     os.environ.pop("JAX_PLATFORMS", None)
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
@@ -94,6 +94,17 @@ def worker(rank: int, nprocs: int, port: int, tmp: str,
 
     if rank != 0:
         # the plain runtime path: build app, detect worker role, loop
+        from rag_inference_pipeline_tpu.serve.runtime import main
+
+        main()
+        return
+
+    if mode == "fail":
+        # front-door failure drill: the parent holds http_port, so
+        # TCPSite.start() raises — serve() must broadcast OP_STOP on the
+        # way out so rank 1 exits instead of hanging in its broadcast
+        # loop (serve/runtime.py failure path). This process exits
+        # NONZERO by design; the parent asserts rank 1 still exits 0.
         from rag_inference_pipeline_tpu.serve.runtime import main
 
         main()
@@ -171,13 +182,17 @@ def main() -> None:
     ap.add_argument("--tmp", default=None)
     ap.add_argument("--http-port", type=int, default=None)
     ap.add_argument("--build-only", default=None)
+    ap.add_argument("--mode", choices=["ok", "fail"], default="ok",
+                    help="fail = front-door crash drill (workers must "
+                         "exit via OP_STOP, not hang)")
     args = ap.parse_args()
 
     if args.build_only:
         build_artifact(args.build_only)
         return
     if args.rank is not None:
-        worker(args.rank, args.nprocs, args.port, args.tmp, args.http_port)
+        worker(args.rank, args.nprocs, args.port, args.tmp,
+               args.http_port, args.mode)
         return
 
     import tempfile
@@ -186,6 +201,12 @@ def main() -> None:
         build_artifact_subproc(tmp)
         port = free_port()
         http_port = free_port()
+        blocker = None
+        if args.mode == "fail":
+            # occupy the HTTP port so rank 0's TCPSite.start() raises
+            blocker = socket.socket()
+            blocker.bind(("127.0.0.1", http_port))
+            blocker.listen(1)
         logs = [open(f"/tmp/dcn_serving_rank{r}.log", "w")
                 for r in range(args.nprocs)]
         procs = [
@@ -197,6 +218,7 @@ def main() -> None:
                     "--port", str(port),
                     "--tmp", tmp,
                     "--http-port", str(http_port),
+                    "--mode", args.mode,
                 ],
                 stdout=logs[r], stderr=subprocess.STDOUT,
             )
@@ -205,6 +227,18 @@ def main() -> None:
         codes = [p.wait(timeout=600) for p in procs]
         for f in logs:
             f.close()
+        if blocker is not None:
+            blocker.close()
+        if args.mode == "fail":
+            # rank 0 crashes by design; every WORKER must still exit 0
+            # (OP_STOP reached it) instead of hanging until timeout
+            assert codes[0] != 0, (codes, "front door was expected to fail")
+            assert codes[1:] == [0] * (args.nprocs - 1), (
+                codes, "see /tmp/dcn_serving_rank*.log"
+            )
+            print(json.dumps({"dcn_serving_dryrun": "fail-drill-ok",
+                              "nprocs": args.nprocs}))
+            return
         assert codes == [0] * args.nprocs, (
             codes, "see /tmp/dcn_serving_rank*.log"
         )
