@@ -294,6 +294,28 @@ class TestEndToEnd:
 
         run_app_test(s, check)
 
+    def test_pack_results_b64_edges(self):
+        """Unit edges for the binary response packer: empty batch, ragged
+        rows pad with -1/0, document payloads rejected."""
+        import base64
+
+        from rag_inference_pipeline_tpu.serve.http import _pack_results_b64
+
+        out = _pack_results_b64([])
+        assert out["count"] == 0 and out["k"] == 0 and out["ids_b64"] == ""
+        out = _pack_results_b64([
+            {"ids": [3], "scores": [0.5]},
+            {"ids": [1, 2], "scores": [0.9, 0.8]},
+        ])
+        ids = np.frombuffer(
+            base64.b64decode(out["ids_b64"]), np.int32
+        ).reshape(2, 2)
+        assert ids.tolist() == [[3, -1], [1, 2]]
+        with pytest.raises(ValueError):
+            _pack_results_b64(
+                [{"ids": [1], "scores": [0.1], "documents": []}]
+            )
+
     def test_retrieve_b64_response_rejected_with_documents(self):
         """response_format=b64 only packs id_only results; with a full
         document payload mode it must 400, not drop the docs."""
