@@ -57,11 +57,17 @@ def main() -> None:
     p.add_argument("manifest")
     p.add_argument("--base-port", type=int, default=8300)
     p.add_argument("--artifacts", default="artifacts/experiments")
-    p.add_argument("--health-timeout", type=float, default=300.0)
+    p.add_argument("--health-timeout", type=float, default=None,
+                   help="seconds to wait for /health per node (overrides "
+                        "the manifest's health_timeout; default 300)")
     args = p.parse_args()
 
     with open(args.manifest) as fh:
         manifest = yaml.safe_load(fh)
+    if args.health_timeout is None:
+        # big-corpus manifests set their own window: the 4.5M boot is
+        # upload + warmup bound (~25 min through the tunneled chip)
+        args.health_timeout = float(manifest.get("health_timeout", 300.0))
     name = manifest.get("name", "experiment")
     ts = time.strftime("%Y%m%d_%H%M%S")
     out_dir = os.path.join(args.artifacts, f"{name}_{ts}")
