@@ -107,6 +107,10 @@ class Settings(BaseModel):
     # (artifacts/round3/ivf_oracle_1m_realistic*.json). Cost is padded HBM:
     # bucket storage = cap_factor * n rows.
     index_cap_factor: float = 2.5
+    # dp-sharded IVF only: per-shard local probe budget (0 = auto,
+    # ceil(nprobe/dp) — single-device work parity; raise toward nprobe
+    # for recall >= unsharded at dp x the scan cost)
+    index_nprobe_local: int = 0
     index_shard_axis: str = "dp"  # mesh axis database rows are sharded over
 
     # --- retrieval / generation semantics (reference :231-244) ---

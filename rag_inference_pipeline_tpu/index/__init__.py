@@ -21,7 +21,7 @@ def make_index(settings, mesh=None) -> BaseIndex:
             rescore_k=settings.index_rescore_k,
         )
     if kind is IndexKind.IVF_FLAT:
-        return IVFFlatIndex(
+        idx = IVFFlatIndex(
             settings.index_dim,
             settings.index_nlist,
             metric=settings.index_metric,
@@ -30,7 +30,9 @@ def make_index(settings, mesh=None) -> BaseIndex:
             mesh=mesh,
             cap_factor=settings.index_cap_factor,
         )
-    return IVFPQIndex(
+        idx.nprobe_local = settings.index_nprobe_local
+        return idx
+    idx = IVFPQIndex(
         settings.index_dim,
         settings.index_nlist,
         settings.index_pq_m,
@@ -42,6 +44,8 @@ def make_index(settings, mesh=None) -> BaseIndex:
         # play: 10M x 768 at m=192/PQ4 is ~1.9 GB of codes vs 15 GB bf16)
         ksub=16 if settings.index_pq_bits == 4 else 256,
     )
+    idx.nprobe_local = settings.index_nprobe_local
+    return idx
 
 
 __all__ = ["BaseIndex", "FlatIndex", "IVFFlatIndex", "IVFPQIndex", "make_index"]

@@ -45,6 +45,10 @@ class IVFFlatIndex(BaseIndex):
         super().__init__(dim, metric)
         self.nlist = nlist
         self.nprobe = nprobe
+        # sharded search only: per-shard local probe budget; 0 = auto
+        # (ceil(nprobe/dp), single-device work parity). Raise toward
+        # nprobe for recall >= unsharded at dp x scan cost.
+        self.nprobe_local = 0
         # exact=True routes TPU searches through the XLA gather path, which
         # is exact within probed lists (faiss IndexIVFFlat semantics). The
         # default Pallas streaming scan keeps at most one candidate per
@@ -112,6 +116,7 @@ class IVFFlatIndex(BaseIndex):
             return sharded_ivf_search(
                 self.mesh, self._listing, q, k,
                 nprobe=self.nprobe, metric=self.metric,
+                nprobe_local=self.nprobe_local,
             )
         # TPU + IP: batch-deduped cluster-major kernel (default) or the
         # per-query streaming scan; CPU / L2 / exact=True: XLA path (exact

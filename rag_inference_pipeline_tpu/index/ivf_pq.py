@@ -54,6 +54,7 @@ class IVFPQIndex(BaseIndex):
         self.nlist = nlist
         self.m = m
         self.nprobe = nprobe
+        self.nprobe_local = 0  # sharded search: 0 = auto (ceil(nprobe/dp))
         self.cap_factor = cap_factor
         # rescore_k > 0: keep full vectors and exactly re-score the top
         # rescore_k ADC candidates before cutting to k
@@ -134,6 +135,7 @@ class IVFPQIndex(BaseIndex):
                 return sharded_ivfpq_search(
                     self.mesh, self._listing, qq, kk,
                     nprobe=self.nprobe, interpret=interpret,
+                    nprobe_local=self.nprobe_local,
                 )
         elif self.ksub == 16:
             def adc(qq, kk):

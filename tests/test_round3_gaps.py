@@ -126,3 +126,36 @@ class TestFactoryBuildsShardedIVF:
         # replicated control: same artifact, no mesh
         back = BaseIndex.load(path)
         assert not back._sharded
+
+    def test_nprobe_local_plumbs_and_affects_sharded_search(self):
+        """Settings.index_nprobe_local reaches the index; forcing the
+        full per-shard budget (= nprobe) must probe a superset of the
+        auto budget, so its recall cannot be lower."""
+        from rag_inference_pipeline_tpu.core import Settings
+        from rag_inference_pipeline_tpu.index import make_index
+
+        rng = np.random.default_rng(13)
+        x = _clustered(rng, 2048, 32)
+        ctx = make_mesh(dp=8, tp=1)
+        s = Settings(
+            index_kind="ivf_flat", index_dim=32, index_nlist=64,
+            index_nprobe=16, index_pq_m=8, index_nprobe_local=16,
+        )
+        idx = make_index(s, mesh=ctx)
+        assert idx.nprobe_local == 16
+        idx.train_add(x, train_size=2048, iters=6)
+        assert idx._sharded
+        oracle = np.argsort(-(x[:8] @ x.T), axis=1)[:, :10]
+        _, i_full = idx.search(x[:8], 10)
+        rec_full = np.mean([
+            len(set(np.asarray(i_full)[j]) & set(oracle[j])) / 10
+            for j in range(8)
+        ])
+        idx.nprobe_local = 0  # auto = ceil(16/8) = 2 local lists
+        _, i_auto = idx.search(x[:8], 10)
+        rec_auto = np.mean([
+            len(set(np.asarray(i_auto)[j]) & set(oracle[j])) / 10
+            for j in range(8)
+        ])
+        assert rec_full >= rec_auto
+        assert rec_full >= 0.9, (rec_full, rec_auto)
