@@ -101,6 +101,13 @@ class Settings(BaseModel):
     # 0.963 recall@10 at 100k vs 0.787 at 64 (tests/test_round2_gaps.py)
     index_rescore_k: int = 64
     index_pq_rescore_k: int = 256
+    # IVF-PQ shortlist rescore store: "exact" = bf16 full vectors in HBM
+    # (<=5M); "host_int8" = int8 codes in HOST RAM, device shortlist +
+    # host exact refine — the >=30M single-chip recall-floor play (23 GB
+    # at 30M x 768 fits host RAM, never HBM); "pq8" = flat residual-PQ8
+    # codes in HBM (recall-tolerant device-only capacity points: re-
+    # ranking near-ties needs >=4 bits/dim, which PQ8 does not carry)
+    index_pq_rescore_kind: str = "exact"
     # IVF bucket capacity = cap_factor * n/nlist (lane-aligned). 2.5 holds
     # every row in its home list on clustered corpora; 1.5 displaced 158k
     # rows at 1M/nlist=4096, a flat -6 recall points at EVERY nprobe
@@ -230,6 +237,12 @@ class Settings(BaseModel):
             raise ValueError(
                 "index_cap_factor must be >= 1.0 (bucket capacity as a "
                 "multiple of the mean list size)"
+            )
+        if self.index_pq_rescore_kind not in ("exact", "pq8", "host_int8"):
+            raise ValueError(
+                "index_pq_rescore_kind must be 'exact' (bf16 vectors), "
+                "'pq8' (flat residual-PQ8 tier) or 'host_int8' (host-RAM "
+                "refine store)"
             )
         return self
 

@@ -43,6 +43,7 @@ def make_index(settings, mesh=None) -> BaseIndex:
         # 4-bit codes -> ksub=16 one-hot MXU ADC kernel (the >=10M capacity
         # play: 10M x 768 at m=192/PQ4 is ~1.9 GB of codes vs 15 GB bf16)
         ksub=16 if settings.index_pq_bits == 4 else 256,
+        rescore_kind=settings.index_pq_rescore_kind,
     )
     idx.nprobe_local = settings.index_nprobe_local
     return idx

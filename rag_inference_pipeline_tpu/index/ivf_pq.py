@@ -17,9 +17,12 @@ import numpy as np
 from ..core.mesh import MeshContext
 from ..ops.pq import (
     IVFPQListing,
+    PQFlatTier,
     build_ivfpq,
+    build_pq_tier,
     ivfpq4_search_dedup,
     ivfpq_search,
+    pq_tier_rescore_topk,
     shard_ivfpq_listing,
     sharded_ivfpq_search,
 )
@@ -42,12 +45,18 @@ class IVFPQIndex(BaseIndex):
         opq: bool = False,
         mesh: Optional[MeshContext] = None,
         ksub: int = 256,
+        rescore_kind: str = "exact",
+        rescore_pq_m: int = 0,
     ) -> None:
         super().__init__(dim, "ip")  # residual-ADC path is IP-metric
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by pq m {m}")
         if ksub not in (16, 256):
             raise ValueError("ksub must be 16 (PQ4) or 256 (PQ8)")
+        if rescore_kind not in ("exact", "pq8", "host_int8"):
+            raise ValueError(
+                "rescore_kind must be 'exact', 'pq8' or 'host_int8'"
+            )
         # ksub=16 (PQ4) enables the one-hot MXU ADC dedup kernel on TPU —
         # the gather-free scan; double m to keep bits/row equal to PQ8
         self.ksub = ksub
@@ -56,23 +65,43 @@ class IVFPQIndex(BaseIndex):
         self.nprobe = nprobe
         self.nprobe_local = 0  # sharded search: 0 = auto (ceil(nprobe/dp))
         self.cap_factor = cap_factor
-        # rescore_k > 0: keep full vectors and exactly re-score the top
-        # rescore_k ADC candidates before cutting to k
+        # rescore_k > 0: re-score the top rescore_k ADC candidates before
+        # cutting to k. rescore_kind picks the rescore store:
+        #   "exact"     — bf16 full vectors in HBM (2 bytes/dim; <=5M)
+        #   "pq8"       — flat residual-PQ8 codes in HBM (1 byte/subspace).
+        #                 Measured precision wall: re-ranking near-tie
+        #                 neighbors needs >=4 bits/dim, so this tier tops
+        #                 out ~mid-recall on tight clusters — use for
+        #                 recall-tolerant capacity points only
+        #                 (ops/pq.py::PQFlatTier).
+        #   "host_int8" — int8 codes in HOST RAM (the faiss refine-from-
+        #                 storage shape): device produces the ADC
+        #                 shortlist, host gathers + exactly re-scores.
+        #                 The >=30M single-chip recall-floor play — 23 GB
+        #                 at 30M x 768 fits host RAM, never HBM.
         self.rescore_k = rescore_k
+        self.rescore_kind = rescore_kind
+        # PQ8 tier subspace count; 0 = 4-dim subspaces (dim / 4) — the
+        # measured precision knee; dim/8 halves memory at ~2x the error
+        self.rescore_pq_m = rescore_pq_m or dim // 4
         # opq: learn an orthogonal rotation before quantization (ops/pq.py
         # train_opq); IP scores are rotation-invariant so queries just rotate
         self.opq = opq
         self.mesh = mesh
         self._listing: Optional[IVFPQListing] = None
-        self._vectors: Optional[jax.Array] = None  # only when rescore_k > 0
+        self._vectors: Optional[jax.Array] = None  # rescore_kind == "exact"
+        self._tier: Optional[PQFlatTier] = None  # rescore_kind == "pq8"
+        self._host_codes: Optional[np.ndarray] = None  # "host_int8" [N,D] i8
+        self._host_scale: float = 0.0
         self._rotation: Optional[jax.Array] = None  # [D, D] when opq
         self._sharded = False
 
     def _maybe_shard(self) -> None:
         """dp-shard the code buckets when a multi-device mesh is attached
-        (VERDICT round-2 #4). Re-score vectors, when kept, stay replicated
-        — at the capacity scale this index exists for, run rescore_k=0 or
-        pair with a dp-sharded flat-int8 rescore store."""
+        (VERDICT round-2 #4). Re-score stores stay replicated (shortlist
+        ids are global) — at the capacity scale this index exists for, use
+        rescore_kind="pq8" (1 byte/subspace replicates affordably) rather
+        than the bf16 exact copy."""
         if (
             self.mesh is not None
             and self.mesh.dp > 1
@@ -118,7 +147,29 @@ class IVFPQIndex(BaseIndex):
             ksub=self.ksub,
         )
         if self.rescore_k > 0:
-            self._vectors = jnp.asarray(v, jnp.bfloat16)
+            if self.rescore_kind == "host_int8":
+                # host-RAM refine store: symmetric global-scale int8 (the
+                # same quantizer as the flat-int8 index, ops/topk.py)
+                amax = float(np.abs(v).max()) or 1.0
+                self._host_scale = amax / 127.0
+                self._host_codes = np.ascontiguousarray(
+                    np.clip(np.round(v / self._host_scale), -127, 127),
+                    dtype=np.int8,
+                )
+            elif self.rescore_kind == "pq8":
+                # tier shares the listing's coarse centroids (built before
+                # _maybe_shard so they are still replicated here)
+                self._tier = build_pq_tier(
+                    jax.random.key(seed + 1),
+                    v,
+                    self._listing.centroids,
+                    self.rescore_pq_m,
+                    train_size=train_size,
+                    pq_iters=pq_iters,
+                    seed=seed,
+                )
+            else:
+                self._vectors = jnp.asarray(v, jnp.bfloat16)
         self.ntotal = v.shape[0]
         self._maybe_shard()
         self._loaded = True
@@ -146,6 +197,22 @@ class IVFPQIndex(BaseIndex):
         else:
             def adc(qq, kk):
                 return ivfpq_search(self._listing, qq, kk, nprobe=self.nprobe)
+        if self.rescore_k and self._host_codes is not None:
+            shortlist = max(k, self.rescore_k)
+            _, i = adc(q, shortlist)
+            # ids cross to host (KBs); the 23-GB-class refine store never
+            # touches HBM — device does coarse+ADC, host does exact
+            return _host_int8_rescore(
+                np.asarray(q, np.float32),
+                self._host_codes,
+                self._host_scale,
+                np.asarray(i),
+                k,
+            )
+        if self.rescore_k and self._tier is not None:
+            shortlist = max(k, self.rescore_k)
+            s, i = adc(q, shortlist)
+            return pq_tier_rescore_topk(q.astype(jnp.float32), s, i, self._tier, k)
         if self.rescore_k and self._vectors is not None:
             shortlist = max(k, self.rescore_k)
             s, i = adc(q, shortlist)
@@ -159,6 +226,13 @@ class IVFPQIndex(BaseIndex):
         extra = {}
         if self._vectors is not None:
             extra["vectors"] = np.asarray(self._vectors, np.float32)
+        if self._tier is not None:
+            extra["tier_codebooks"] = np.asarray(self._tier.codebooks, np.float32)
+            extra["tier_codes"] = np.asarray(self._tier.codes)
+            extra["tier_assign"] = np.asarray(self._tier.assign)
+        if self._host_codes is not None:
+            extra["host_codes"] = self._host_codes
+            extra["host_scale"] = np.float32(self._host_scale)
         if self._rotation is not None:
             extra["rotation"] = np.asarray(self._rotation, np.float32)
         save_npz(
@@ -202,6 +276,21 @@ class IVFPQIndex(BaseIndex):
             )
             if "vectors" in z:
                 idx._vectors = jnp.asarray(z["vectors"], jnp.bfloat16)
+            if "tier_codes" in z:
+                # tier centroids = the listing's (shared coarse k-means),
+                # captured here while still unsharded
+                idx._tier = PQFlatTier(
+                    centroids=jnp.asarray(z["centroids"], jnp.float32),
+                    codebooks=jnp.asarray(z["tier_codebooks"], jnp.float32),
+                    codes=jnp.asarray(z["tier_codes"]),
+                    assign=jnp.asarray(z["tier_assign"]),
+                )
+                idx.rescore_kind = "pq8"
+                idx.rescore_pq_m = int(z["tier_codes"].shape[1])
+            if "host_codes" in z:
+                idx._host_codes = np.ascontiguousarray(z["host_codes"])
+                idx._host_scale = float(z["host_scale"])
+                idx.rescore_kind = "host_int8"
             if "rotation" in z:
                 idx._rotation = jnp.asarray(z["rotation"], jnp.float32)
                 idx.opq = True
@@ -213,8 +302,33 @@ class IVFPQIndex(BaseIndex):
     def unload(self) -> None:
         self._listing = None
         self._vectors = None
+        self._tier = None
+        self._host_codes = None
         self._loaded = False
         self.ntotal = 0
+
+
+def _host_int8_rescore(
+    q: np.ndarray, codes: np.ndarray, scale: float, ids: np.ndarray, k: int
+) -> tuple[jax.Array, jax.Array]:
+    """Exact host-side re-score of a device shortlist (refine-from-storage).
+
+    q [B, D] f32; codes [N, D] i8 (host RAM); ids [B, S] i32, -1 invalid.
+    Cost per query: S*D int8->f32 MACs on the host — microseconds at
+    S=2048, vs a store that could never fit HBM.
+    """
+    cand = codes[np.clip(ids, 0, None)].astype(np.float32)  # [B, S, D]
+    s = np.einsum("bsd,bd->bs", cand, q) * scale
+    s = np.where(ids >= 0, s, NEG_INF)
+    k = min(k, s.shape[1])
+    sel = np.argpartition(-s, k - 1, axis=1)[:, :k]
+    ss = np.take_along_axis(s, sel, axis=1)
+    order = np.argsort(-ss, axis=1)
+    top_s = np.take_along_axis(ss, order, axis=1)
+    top_i = np.take_along_axis(
+        np.take_along_axis(ids, sel, axis=1), order, axis=1
+    )
+    return jnp.asarray(top_s), jnp.asarray(top_i)
 
 
 @jax.jit

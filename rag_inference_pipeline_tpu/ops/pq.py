@@ -636,3 +636,119 @@ def sharded_ivfpq_search(
         listing.ids,
         listing.list_sizes,
     )
+
+
+# ---------------------------------------------------------------------------
+# Flat residual-PQ rescore tier: the >=30M single-chip companion to IVF-PQ4.
+# At 30M x 768 the exact rescore copies stop fitting next to the code
+# buckets (int8 = 23 GB, bf16 = 46 GB; HBM = 16 GB), but flat residual-PQ8
+# codes are N x m bytes (2.9 GB at m=96) — enough precision to re-rank the
+# PQ4 ADC shortlist back toward the recall floor. faiss's analog is
+# IndexRefine over a second, finer quantizer (reference outsources refine
+# entirely to faiss: faiss_store.py:96-100).
+# ---------------------------------------------------------------------------
+
+
+class PQFlatTier(NamedTuple):
+    """Row-id-addressed residual-PQ codes for shortlist rescoring.
+
+    Shares the coarse centroids with the IVF listing it refines (same
+    k-means, same assignment), so score reconstruction is the residual
+    identity: score(q, id) = q . centroid[assign[id]] + ADC(q, codes[id]).
+    Stays replicated under dp-sharded listings — shortlist ids are global.
+    """
+
+    centroids: jax.Array  # [nlist, D] f32 (replicated copy, ~25 MB)
+    codebooks: jax.Array  # [M, ksub, ds] f32, residual space
+    codes: jax.Array  # [N, M] uint8
+    assign: jax.Array  # [N] i32 coarse list of each row
+
+
+def build_pq_tier(
+    key: jax.Array,
+    x_host: np.ndarray,
+    centroids: jax.Array,
+    m: int,
+    *,
+    train_size: int = 131072,
+    pq_iters: int = 12,
+    seed: int = 0,
+    ksub: int = 256,
+    encode_chunk: int = 1_048_576,
+) -> PQFlatTier:
+    """Train + encode a flat residual-PQ tier against existing centroids.
+
+    Encoding streams `encode_chunk` rows at a time so the f32 residual
+    transient stays bounded next to whatever already lives in HBM.
+    """
+    from .kmeans import assign_clusters
+
+    n, _d = x_host.shape
+    cent = jnp.asarray(centroids, jnp.float32)
+    rng = np.random.default_rng(seed)
+    sel = rng.choice(n, size=min(train_size, n), replace=False)
+    xs = jnp.asarray(x_host[sel], jnp.float32)
+    res_train = xs - cent[assign_clusters(xs, cent)]
+    codebooks = train_pq(key, res_train, m, iters=pq_iters, ksub=ksub)
+
+    codes = np.empty((n, m), np.uint8)
+    assign = np.empty(n, np.int32)
+    for lo in range(0, n, encode_chunk):
+        xc = jnp.asarray(x_host[lo : lo + encode_chunk], jnp.float32)
+        a = assign_clusters(xc, cent)
+        codes[lo : lo + encode_chunk] = np.asarray(
+            pq_encode(xc - cent[a], codebooks)
+        )
+        assign[lo : lo + encode_chunk] = np.asarray(a)
+    return PQFlatTier(
+        centroids=cent,
+        codebooks=codebooks,
+        codes=jnp.asarray(codes),
+        assign=jnp.asarray(assign),
+    )
+
+
+@jax.jit
+def pq_rescore_flat(
+    queries: jax.Array, ids: jax.Array, tier: PQFlatTier
+) -> jax.Array:
+    """Re-score shortlist ids against a flat residual-PQ tier.
+
+    queries [B, D]; ids [B, S] i32 (-1 = invalid) -> scores [B, S] f32,
+    NEG_INF at invalid slots. score = q.centroid[assign[id]] + residual
+    ADC — the same identity the ADC search path uses, at the tier's
+    (finer) code precision.
+    """
+    qf = queries.astype(jnp.float32)
+    b, s = ids.shape
+    m, ksub, _ds = tier.codebooks.shape
+    safe = jnp.clip(ids, 0)
+    codes_g = jnp.take(tier.codes, safe, axis=0)  # [B, S, M]
+    a_g = jnp.take(tier.assign, safe, axis=0)  # [B, S]
+    coarse = jnp.dot(
+        qf, tier.centroids.T, preferred_element_type=jnp.float32
+    )  # [B, nlist]
+    coarse_term = jnp.take_along_axis(coarse, a_g, axis=1)  # [B, S]
+    lut = pq_lut(qf, tier.codebooks)  # [B, M*ksub]
+    base = (jnp.arange(m, dtype=jnp.int32) * ksub)[None, None, :]
+    idx = codes_g.astype(jnp.int32) + base  # [B, S, M]
+
+    def one_query(lut_row, idx_row):
+        return jnp.take(lut_row, idx_row.reshape(-1)).reshape(s, m).sum(-1)
+
+    adc = jax.vmap(one_query)(lut, idx)  # [B, S]
+    return jnp.where(ids >= 0, coarse_term + adc, NEG_INF)
+
+
+def pq_tier_rescore_topk(
+    queries: jax.Array,
+    adc_scores: jax.Array,
+    ids: jax.Array,
+    tier: PQFlatTier,
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Shortlist (from any ADC search) -> tier-rescored top-k."""
+    del adc_scores  # replaced entirely by the finer reconstruction
+    scores = pq_rescore_flat(queries, ids, tier)
+    top_s, sel = jax.lax.top_k(scores, min(k, scores.shape[1]))
+    return top_s, jnp.take_along_axis(ids, sel, axis=1)

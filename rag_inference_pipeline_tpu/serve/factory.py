@@ -128,6 +128,7 @@ _INDEX_CFG_KEYS = {
     "pq_bits": "index_pq_bits",
     "rescore_k": "index_rescore_k",
     "pq_rescore_k": "index_pq_rescore_k",
+    "pq_rescore_kind": "index_pq_rescore_kind",
     "cap_factor": "index_cap_factor",
 }
 

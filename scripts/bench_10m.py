@@ -25,6 +25,14 @@ Ladder: B in {1, 4, 32} (+128 for flat), nprobe in {32, 64, 128},
 rescore depth in {512, 2048} (recall was shortlist-bound at 512: 0.80
 measured vs a 0.96-0.99 layout candidate bound). Writes
 artifacts/round3/bench_10m.json.
+
+--rescore-kind pq8 switches to the >=30M single-chip regime: NO flat
+store exists at that scale (30M x 768 int8 = 23 GB > 16 GB HBM), so the
+flat ladder is skipped and the PQ4 shortlist is re-ranked against a
+flat residual-PQ8 tier (ops/pq.py::PQFlatTier, n x m8 bytes = 2.9 GB at
+30M) sharing the listing's coarse centroids. Example:
+  bench_10m.py --n 30720000 --nlist 8192 --cap-factor 2.0 \
+      --rescore-kind pq8 --train-n 262144 --out .../bench_30m.json
 """
 
 from __future__ import annotations
@@ -57,6 +65,23 @@ def main() -> None:
     # do the final ranking (smoke showed 32 -> recall 0.4 with ALL GT rows
     # present in the probed buckets; 512 recovers them)
     ap.add_argument("--rescores", default="512,2048")
+    # int8 = exact-int8 shortlist rescore against a resident flat store
+    # (fits to ~20M: 30M x 768 int8 = 23 GB > HBM). At >=30M the flat
+    # ladder is skipped (no flat store fits) and the options are:
+    #   host_int8 — int8 refine store in HOST RAM (faiss refine-from-
+    #     storage shape): device shortlist, exact host re-score. The
+    #     recall-floor play; ids cross the link, the 23 GB store never
+    #     does.
+    #   pq8 — flat residual-PQ8 tier in HBM (ops/pq.py::PQFlatTier). The
+    #     device-only capacity point: measured precision wall means
+    #     mid-recall on tight clusters (>=4 bits/dim needed to re-rank
+    #     near-ties).
+    ap.add_argument("--rescore-kind", choices=("int8", "pq8", "host_int8"),
+                    default="int8")
+    ap.add_argument("--m8", type=int, default=96,
+                    help="PQ8 tier subspaces (classic geometry: d/8)")
+    ap.add_argument("--train-n", type=int, default=131072,
+                    help="k-means / PQ training sample size")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes on CPU (correctness of the harness)")
     ap.add_argument("--out", default="artifacts/round3/bench_10m.json")
@@ -75,7 +100,9 @@ def main() -> None:
     from rag_inference_pipeline_tpu.ops.pq import (
         ivfpq4_search_dedup,
         IVFPQListing,
+        PQFlatTier,
         pq_encode,
+        pq_tier_rescore_topk,
         train_pq,
     )
 
@@ -155,6 +182,10 @@ def main() -> None:
     )
     q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
     q = jax.device_put(q)
+    # keep only a small head of block 0 for cross-platform checks; the
+    # full 1.5 GB block must not stay resident next to the 30M buckets
+    x0_head = jnp.array(x0[:1024])
+    del x0
 
     # NB every device array is passed as a jit ARGUMENT, never closed over —
     # closed-over arrays ship as HLO constants to the remote compiler and
@@ -175,21 +206,52 @@ def main() -> None:
         ms, sel = jax.lax.top_k(all_s, k)
         return db_i8, ms, jnp.take_along_axis(all_i, sel, axis=1)
 
-    db_i8 = jnp.zeros((n, d), jnp.int8)
+    @jax.jit
+    def ingest_gt_only(i, gt_s, gt_i, qdev, gen_centers):
+        # pq8 regime: no resident flat store exists at this scale — GT
+        # merges block-by-block, corpus blocks are transient
+        x = gen_block(i, gen_centers)
+        s = jnp.dot(
+            qdev.astype(jnp.bfloat16), x.T, preferred_element_type=jnp.float32
+        )
+        cs, ci = jax.lax.top_k(s, k)
+        all_s = jnp.concatenate([gt_s, cs], axis=1)
+        all_i = jnp.concatenate([gt_i, ci + i * blk], axis=1)
+        ms, sel = jax.lax.top_k(all_s, k)
+        return ms, jnp.take_along_axis(all_i, sel, axis=1)
+
+    db_i8 = None
     gt_s = jnp.full((args.nq, k), -1e30, jnp.float32)
     gt_i = jnp.full((args.nq, k), -1, jnp.int32)
-    for i in range(n_blocks):
-        db_i8, gt_s, gt_i = ingest(i, db_i8, gt_s, gt_i, q, _centers)
-        print(f"  ingest block {i + 1}/{n_blocks}", flush=True)
+    if args.rescore_kind == "int8":
+        db_i8 = jnp.zeros((n, d), jnp.int8)
+        for i in range(n_blocks):
+            db_i8, gt_s, gt_i = ingest(i, db_i8, gt_s, gt_i, q, _centers)
+            print(f"  ingest block {i + 1}/{n_blocks}", flush=True)
+    else:
+        for i in range(n_blocks):
+            gt_s, gt_i = ingest_gt_only(i, gt_s, gt_i, q, _centers)
+            print(f"  ingest block {i + 1}/{n_blocks}", flush=True)
     gt = np.asarray(gt_i)
     q_np = np.asarray(q)
     print(f"ingest + GT: {time.time() - t0:.0f}s", flush=True)
 
     results = {"config": {
         "n": n, "d": d, "k": k, "nlist": args.nlist, "m": args.m,
+        "rescore_kind": args.rescore_kind,
         "backend": jax.default_backend(),
-        "note": "flat-int8 has NO rescore copy (bf16 copy = 15.7 GB > HBM); "
-                "IVF-Flat bf16 = 23.6 GB, infeasible single-chip at 10M",
+        "note": (
+            "flat-int8 has NO rescore copy (bf16 copy = 15.7 GB > HBM); "
+            "IVF-Flat bf16 = 23.6 GB, infeasible single-chip at 10M"
+        ) if args.rescore_kind == "int8" else (
+            f">=30M regime: flat-int8 store = {n * d / 2**30:.1f} GB > "
+            "HBM — no flat ladder exists at this scale; rescore store = "
+            + ("host-RAM int8 refine (device shortlist + exact host "
+               "re-score; ladder times INCLUDE the ids-fetch RTT)"
+               if args.rescore_kind == "host_int8" else
+               f"flat residual-PQ8 tier in HBM "
+               f"({n * args.m8 / 2**30:.1f} GB, m8={args.m8})")
+        ),
     }, "flat_int8": [], "ivfpq4": []}
 
     rng = np.random.default_rng(1)
@@ -229,7 +291,8 @@ def main() -> None:
             ntotal=n, mm_bf16=mm, interpret=interpret,
         )
 
-    for b in (int(x) for x in args.flat_batches.split(",") if x):
+    for b in (int(x) for x in args.flat_batches.split(",") if x
+              ) if args.rescore_kind == "int8" else ():
         rec = recall_all(flat_search, b, db_i8, scale)
         ms = time_inprogram(
             flat_search, variants_for(b), extra=(db_i8, scale), reps=3
@@ -249,8 +312,8 @@ def main() -> None:
     # of f32 transients on top of the resident 7.9 GB int8 store (measured
     # RESOURCE_EXHAUSTED on v5e). faiss likewise trains on a sample.
     t0 = time.time()
-    kc, kp = jax.random.split(jax.random.fold_in(key, 77))
-    train_n = min(131072, blk)
+    kc, kp, kp8 = jax.random.split(jax.random.fold_in(key, 77), 3)
+    train_n = min(args.train_n, blk)
 
     @jax.jit
     def gen_train(gen_centers):
@@ -334,6 +397,14 @@ def main() -> None:
     codebooks = train_pq(
         kp, train_residuals(train, centroids), args.m, iters=12, ksub=16
     )
+    codebooks8 = None
+    if args.rescore_kind == "pq8":
+        # finer rescore codebooks on the SAME residual distribution — the
+        # tier shares the coarse k-means with the PQ4 listing
+        codebooks8 = train_pq(
+            kp8, train_residuals(train, centroids), args.m8, iters=12,
+            ksub=256,
+        )
     del train
 
     m_store = max(128, ((args.m + 127) // 128) * 128)
@@ -379,6 +450,97 @@ def main() -> None:
         ids=ids_dev,
         list_sizes=sizes_dev,
     )
+    tier = None
+    if args.rescore_kind == "pq8":
+        # flat PQ8 rescore tier, row-id addressed (no bucket padding):
+        # n x m8 bytes — 2.9 GB at 30M/m8=96, resident NEXT TO the 7.9 GB
+        # PQ4 buckets where a 23 GB int8 copy cannot be
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def encode8(i, codes8_buf, cents, cbooks, a_all, gen_centers):
+            def chunk_codes8(j):
+                a = jax.lax.dynamic_slice_in_dim(a_all, i * blk + j * gch, gch)
+                r = gen_chunk(i, j, gen_centers) - cents[a]
+                return pq_encode(r, cbooks)
+
+            c8 = jax.lax.map(chunk_codes8, jnp.arange(n_ch)).reshape(
+                blk, args.m8
+            )
+            return jax.lax.dynamic_update_slice(codes8_buf, c8, (i * blk, 0))
+
+        codes8 = jnp.zeros((n, args.m8), jnp.uint8)
+        for i in range(n_blocks):
+            codes8 = encode8(
+                i, codes8, centroids, codebooks8, assign_dev, _centers
+            )
+            print(f"  encode8 block {i + 1}/{n_blocks}", flush=True)
+        tier = PQFlatTier(
+            centroids=centroids,
+            codebooks=codebooks8,
+            codes=codes8,
+            assign=assign_dev,
+        )
+    host_codes = None
+    host_scale = 0.0
+    if args.rescore_kind == "host_int8":
+        # host-RAM refine store, built by REGENERATING the keyed corpus on
+        # the in-process CPU backend — threefry is platform-deterministic,
+        # so host rows match device rows (asserted below) and nothing big
+        # crosses the tunnel. 23 GB at 30M x 768 sits in host RAM.
+        th = time.time()
+        cpu0 = jax.devices("cpu")[0]
+        host_scale = float(np.asarray(scale))
+        centers_np = np.asarray(_centers).astype(np.float32)
+        with jax.default_device(cpu0):
+            key_c = jax.random.key(0)
+            which_c = jax.random.split(jax.random.fold_in(key_c, 999))[1]
+            gen_c = jax.random.fold_in(key_c, 555)
+            centers_c = jnp.asarray(centers_np)
+
+            @jax.jit
+            def host_block_i8(i, centers):
+                def chunk(j):
+                    idx = i * n_ch + j
+                    which = jax.random.randint(
+                        jax.random.fold_in(which_c, idx), (gch,), 0, n_centers
+                    )
+                    x = centers[which] + sigma * jax.random.normal(
+                        jax.random.fold_in(gen_c, idx), (gch, d), jnp.float32
+                    )
+                    x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+                    # mirror the device ingest dtype path: bf16 storage
+                    # precision, then global-scale int8
+                    xf = x.astype(jnp.bfloat16).astype(jnp.float32)
+                    return jnp.clip(
+                        jnp.round(xf / host_scale), -127, 127
+                    ).astype(jnp.int8)
+
+                return jax.lax.map(chunk, jnp.arange(n_ch)).reshape(blk, d)
+
+            host_codes = np.empty((n, d), np.int8)
+            for i in range(n_blocks):
+                host_codes[i * blk : (i + 1) * blk] = np.asarray(
+                    host_block_i8(i, centers_c)
+                )
+                if i == 0:
+                    # cross-platform determinism check: host int8 rows must
+                    # match the clipped quantization of the device rows
+                    # (the 99.9th-pct clip scale legitimately saturates a
+                    # few outlier coords — compare post-clip, allow 1 step
+                    # for cross-backend normal() ulp at round boundaries)
+                    dev_rows = np.asarray(x0_head).astype(np.float32)
+                    dev_q = np.clip(
+                        np.round(dev_rows / host_scale), -127, 127
+                    )
+                    err = np.abs(
+                        host_codes[:1024].astype(np.float32) - dev_q
+                    ).max()
+                    assert err <= 1.01, (
+                        f"host regeneration diverged from device rows "
+                        f"(max int8-step err {err:.2f})"
+                    )
+                print(f"  host store block {i + 1}/{n_blocks}", flush=True)
+        print(f"host refine store: {time.time() - th:.0f}s "
+              f"({n * d / 2**30:.1f} GB host RAM)", flush=True)
     print(f"ivfpq4 build total: {time.time() - t0:.0f}s", flush=True)
 
     # ---- phase 4: IVF-PQ4 ladder (+ exact-int8 shortlist re-score) ------
@@ -415,20 +577,97 @@ def main() -> None:
         top, sel = jax.lax.top_k(exact, k)
         return top, jnp.take_along_axis(ids_, sel, axis=1)
 
+    def pq_search_tier(qq, lst, tr, *, nprobe, rescore):
+        # >=30M regime: re-rank the PQ4 ADC shortlist against the flat
+        # residual-PQ8 tier (the only rescore store that fits)
+        s, ids_ = ivfpq4_search_dedup(
+            lst, qq, rescore, nprobe=nprobe, interpret=interpret,
+        )
+        return pq_tier_rescore_topk(qq.astype(jnp.float32), s, ids_, tr, k)
+
+    if args.rescore_kind == "pq8":
+        ladder_extra = (listing, tier)
+        ladder_fn = pq_search_tier
+    else:
+        ladder_extra = (listing, db_i8, scale_f)
+        ladder_fn = pq_search
+
+    @functools.partial(jax.jit, static_argnames=("rescore", "nprobe"))
+    def adc_dev(lst, qq, rescore, nprobe):
+        return ivfpq4_search_dedup(
+            lst, qq, rescore, nprobe=nprobe, interpret=interpret
+        )
+
+    def host_search(qq_np, *, nprobe, rescore):
+        # the product path (index/ivf_pq.py rescore_kind="host_int8"):
+        # device shortlist -> ids fetch -> exact host refine
+        from rag_inference_pipeline_tpu.index.ivf_pq import _host_int8_rescore
+
+        _, ids_ = adc_dev(listing, jnp.asarray(qq_np), rescore, nprobe)
+        return _host_int8_rescore(
+            np.asarray(qq_np, np.float32), host_codes, host_scale,
+            np.asarray(ids_), k,
+        )
+
+    def time_host(b, nprobe, rescore, reps=5):
+        """Wall-clock per call, INCLUDING the ids-fetch RTT (tunnel-honest:
+        np.asarray forces execution; PERF_NOTES 'Measurement reliability').
+        Returns (total_ms, host_ms)."""
+        variants = [np.asarray(v)[0] for v in variants_for(b, n_var=reps, stack=1)]
+        host_search(variants[0], nprobe=nprobe, rescore=rescore)  # warm
+        totals, hosts = [], []
+        from rag_inference_pipeline_tpu.index.ivf_pq import _host_int8_rescore
+
+        for v in variants:
+            t0_ = time.perf_counter()
+            _, ids_ = adc_dev(listing, jnp.asarray(v), rescore, nprobe)
+            ids_np = np.asarray(ids_)
+            t1_ = time.perf_counter()
+            _host_int8_rescore(
+                v.astype(np.float32), host_codes, host_scale, ids_np, k
+            )
+            t2_ = time.perf_counter()
+            totals.append((t2_ - t0_) * 1e3)
+            hosts.append((t2_ - t1_) * 1e3)
+        return float(np.median(totals)), float(np.median(hosts))
+
     rescores = [int(x) for x in args.rescores.split(",") if x]
     for b in (int(x) for x in args.pq_batches.split(",") if x):
         for nprobe, rescore in (
             (np_, rs) for np_ in (int(x) for x in args.nprobes.split(","))
             for rs in rescores
         ):
+            if args.rescore_kind == "host_int8":
+                try:
+                    search = functools.partial(
+                        host_search, nprobe=nprobe, rescore=rescore
+                    )
+                    rec = recall_all(lambda qq, *a, **kw: search(np.asarray(qq)), b)
+                    ms, host_ms = time_host(b, nprobe, rescore)
+                except Exception as e:  # noqa: BLE001
+                    print(f"ivfpq4 B={b} nprobe={nprobe} rs={rescore} SKIP: "
+                          f"{str(e).splitlines()[0][:90]}", flush=True)
+                    continue
+                qps = b / (ms / 1e3)
+                print(f"ivfpq4+host B={b:3d} nprobe={nprobe:4d} "
+                      f"rs={rescore:5d}: {ms:8.2f} ms (host {host_ms:.2f}) "
+                      f"recall {rec:.3f} QPS {qps:8.0f}", flush=True)
+                results["ivfpq4"].append({
+                    "batch": b, "nprobe": nprobe, "rescore": rescore,
+                    "ms_wall_incl_rtt": round(ms, 2),
+                    "ms_host_rescore": round(host_ms, 2),
+                    "recall": round(rec, 4), "qps": round(qps, 1),
+                })
+                _write(args.out, results)
+                continue
             search = functools.partial(
-                pq_search, nprobe=nprobe, rescore=rescore
+                ladder_fn, nprobe=nprobe, rescore=rescore
             )
             try:
-                rec = recall_all(search, b, listing, db_i8, scale_f)
+                rec = recall_all(search, b, *ladder_extra)
                 ms = time_inprogram(
                     search, variants_for(b),
-                    extra=(listing, db_i8, scale_f), reps=3,
+                    extra=ladder_extra, reps=3,
                 )
             except Exception as e:  # noqa: BLE001
                 print(f"ivfpq4 B={b} nprobe={nprobe} rs={rescore} SKIP: "
@@ -448,7 +687,7 @@ def main() -> None:
     flat_by_b = {r["batch"]: r for r in results["flat_int8"]}
     for r in results["ivfpq4"]:
         f = flat_by_b.get(r["batch"])
-        if f:
+        if f and "ms_inprogram" in r:
             r["speedup_vs_flat"] = round(
                 f["ms_inprogram"] / r["ms_inprogram"], 2
             )

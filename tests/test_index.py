@@ -408,3 +408,106 @@ class TestShardedIVF:
         assert back._sharded and back.ntotal == 1024
         s, i = back.search(x[:4], 5)
         assert np.asarray(i).shape == (4, 5)
+
+
+class TestIVFPQTierRescore:
+    """rescore_kind="pq8": the flat residual-PQ8 rescore tier (the >=30M
+    single-chip store — ops/pq.py::PQFlatTier)."""
+
+    def test_pq8_tier_search_saveload(self, corpus, tmp_path):
+        idx = IVFPQIndex(
+            32, nlist=8, m=8, nprobe=8, rescore_k=64,
+            ksub=16, rescore_kind="pq8", rescore_pq_m=16,
+        )
+        idx.train_add(corpus, train_size=2048, kmeans_iters=8, pq_iters=8)
+        assert idx._tier is not None and idx._vectors is None
+        q = corpus[:8]
+        s, i = idx.search(q, 10)
+        oi = oracle_ids(q, corpus, 10)
+        rec = np.mean(
+            [len(set(np.asarray(i)[b]) & set(oi[b])) / 10 for b in range(8)]
+        )
+        assert rec >= 0.7  # full probe + PQ8 re-rank of the PQ4 shortlist
+        p = str(tmp_path / "ivfpq_tier.npz")
+        idx.save(p)
+        idx2 = BaseIndex.load(p)
+        assert isinstance(idx2, IVFPQIndex)
+        assert idx2.rescore_kind == "pq8" and idx2._tier is not None
+        s2, i2 = idx2.search(q, 10)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
+
+    def test_pq8_tier_beats_raw_pq4(self, corpus):
+        raw = IVFPQIndex(32, nlist=8, m=8, nprobe=8, rescore_k=0, ksub=16)
+        raw.train_add(corpus, train_size=2048, kmeans_iters=8, pq_iters=8)
+        tier = IVFPQIndex(
+            32, nlist=8, m=8, nprobe=8, rescore_k=128,
+            ksub=16, rescore_kind="pq8", rescore_pq_m=16,
+        )
+        tier.train_add(corpus, train_size=2048, kmeans_iters=8, pq_iters=8)
+        q = corpus[:16]
+        oi = oracle_ids(q, corpus, 10)
+        _, ia = raw.search(q, 10)
+        _, ib = tier.search(q, 10)
+        ra = np.mean([len(set(np.asarray(ia)[b]) & set(oi[b])) / 10 for b in range(16)])
+        rb = np.mean([len(set(np.asarray(ib)[b]) & set(oi[b])) / 10 for b in range(16)])
+        assert rb >= ra
+
+    def test_settings_wire_rescore_kind(self):
+        s = Settings(
+            index_kind="ivf_pq", index_dim=64, index_pq_m=8,
+            index_pq_bits=4, index_pq_rescore_kind="pq8",
+        )
+        idx = make_index(s)
+        assert isinstance(idx, IVFPQIndex) and idx.rescore_kind == "pq8"
+        with pytest.raises(Exception):
+            Settings(index_pq_rescore_kind="float64")
+
+
+class TestIVFPQHostRefine:
+    """rescore_kind="host_int8": host-RAM refine store (faiss refine-from-
+    storage shape) — device shortlist, exact host re-score."""
+
+    def test_host_refine_matches_exact_rescore(self, corpus):
+        ex = IVFPQIndex(32, nlist=8, m=8, nprobe=8, rescore_k=128, ksub=16)
+        ex.train_add(corpus, train_size=2048, kmeans_iters=8, pq_iters=8)
+        host = IVFPQIndex(
+            32, nlist=8, m=8, nprobe=8, rescore_k=128,
+            ksub=16, rescore_kind="host_int8",
+        )
+        host.train_add(corpus, train_size=2048, kmeans_iters=8, pq_iters=8)
+        assert host._host_codes is not None and host._vectors is None
+        q = corpus[:16]
+        oi = oracle_ids(q, corpus, 10)
+        _, ie = ex.search(q, 10)
+        _, ih = host.search(q, 10)
+        re_ = np.mean([len(set(np.asarray(ie)[b]) & set(oi[b])) / 10 for b in range(16)])
+        rh = np.mean([len(set(np.asarray(ih)[b]) & set(oi[b])) / 10 for b in range(16)])
+        # int8 refine quantization error is ~0.4% — recall parity with the
+        # bf16 exact store up to near-exact ties
+        assert rh >= re_ - 0.05
+        assert rh >= 0.8
+
+    def test_host_refine_saveload(self, corpus, tmp_path):
+        idx = IVFPQIndex(
+            32, nlist=8, m=8, nprobe=8, rescore_k=64,
+            ksub=16, rescore_kind="host_int8",
+        )
+        idx.train_add(corpus, train_size=2048, kmeans_iters=8, pq_iters=8)
+        q = corpus[:8]
+        _, i1 = idx.search(q, 10)
+        p = str(tmp_path / "ivfpq_host.npz")
+        idx.save(p)
+        idx2 = BaseIndex.load(p)
+        assert idx2.rescore_kind == "host_int8"
+        assert idx2._host_codes is not None
+        assert idx2._host_codes.dtype == np.int8
+        _, i2 = idx2.search(q, 10)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_settings_wire_host_kind(self):
+        s = Settings(
+            index_kind="ivf_pq", index_dim=64, index_pq_m=8,
+            index_pq_bits=4, index_pq_rescore_kind="host_int8",
+        )
+        idx = make_index(s)
+        assert idx.rescore_kind == "host_int8"
