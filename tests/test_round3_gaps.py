@@ -159,3 +159,73 @@ class TestFactoryBuildsShardedIVF:
         ])
         assert rec_full >= rec_auto
         assert rec_full >= 0.9, (rec_full, rec_auto)
+
+
+class TestHostRefineBehindLiveApp:
+    def test_retrieve_against_host_int8_refine(self):
+        """The >=30M-shape index (IVF-PQ4 shortlist in 'HBM', int8 refine
+        store in host RAM) behind the live HTTP app: /retrieve ids must hit
+        the brute-force oracle — the serve-layer proof that rescore_kind=
+        host_int8 is a product path, not a bench trick."""
+        import asyncio
+        import base64
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from rag_inference_pipeline_tpu.index import IVFPQIndex
+        from rag_inference_pipeline_tpu.serve.factory import build_registry
+        from rag_inference_pipeline_tpu.serve.http import create_app
+        from tests.test_serve import (
+            DIM,
+            make_overrides,
+            single_node_profile,
+            tiny_settings,
+        )
+
+        s = tiny_settings(documents_payload_mode="id_only")
+        rng = np.random.default_rng(13)
+        ov = make_overrides(s, rng)
+        x = _clustered(rng, 2048, DIM)
+        idx = IVFPQIndex(
+            DIM, nlist=16, m=8, nprobe=16, rescore_k=128,
+            ksub=16, rescore_kind="host_int8",
+        )
+        idx.train_add(x, train_size=2048, kmeans_iters=8, pq_iters=8)
+        assert idx._host_codes is not None
+        ov["index"].index = idx
+
+        q = x[:8] + 0.01 * rng.standard_normal((8, DIM)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        oracle = np.argsort(-(q @ x.T), axis=1)[:, :5]
+
+        async def main():
+            registry = build_registry(s, single_node_profile(), overrides=ov)
+            app = create_app(s, single_node_profile(), registry)
+            client = TestClient(TestServer(app))
+            await client.start_server()
+            try:
+                resp = await client.post(
+                    "/retrieve",
+                    json={
+                        "k": 5,
+                        "response_format": "b64",
+                        "embeddings_b64": base64.b64encode(
+                            q.astype(np.float32).tobytes()
+                        ).decode(),
+                    },
+                )
+                assert resp.status == 200, await resp.text()
+                body = await resp.json()
+            finally:
+                await client.close()
+            return body
+
+        body = asyncio.new_event_loop().run_until_complete(main())
+        assert body["count"] == 8 and body["k"] == 5
+        ids = np.frombuffer(
+            base64.b64decode(body["ids_b64"]), np.int32
+        ).reshape(8, 5)
+        rec = np.mean(
+            [len(set(ids[i]) & set(oracle[i])) / 5 for i in range(8)]
+        )
+        assert rec >= 0.85, rec
