@@ -511,3 +511,30 @@ class TestIVFPQHostRefine:
         )
         idx = make_index(s)
         assert idx.rescore_kind == "host_int8"
+
+
+class TestShardedHostRefine:
+    """dp-sharded IVF-PQ + host_int8 refine compose: shortlist ids are
+    global, so the replicated host-RAM store re-scores a sharded search's
+    merged candidates unchanged (the 30M-per-shard capacity shape)."""
+
+    def test_sharded_pq_with_host_refine(self, rng, mesh_dp8):
+        x = _clustered_corpus(rng)
+        q = x[:16] + 0.01 * rng.standard_normal((16, 32)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        oracle = oracle_ids(q, x, 10)
+
+        sh = IVFPQIndex(
+            32, nlist=64, m=8, nprobe=32, rescore_k=128,
+            ksub=16, rescore_kind="host_int8", mesh=mesh_dp8,
+        )
+        sh.train_add(x, train_size=2048, kmeans_iters=8, pq_iters=8)
+        assert sh._sharded and sh._host_codes is not None
+
+        _, ids = sh.search(q, 10)
+        ids = np.asarray(ids)
+        assert ((ids >= 0) & (ids < len(x))).all()
+        rec = np.mean(
+            [len(set(ids[i]) & set(oracle[i])) / 10 for i in range(16)]
+        )
+        assert rec >= 0.8, rec
