@@ -148,14 +148,14 @@ class IVFPQIndex(BaseIndex):
         )
         if self.rescore_k > 0:
             if self.rescore_kind == "host_int8":
-                # host-RAM refine store: symmetric global-scale int8 (the
-                # same quantizer as the flat-int8 index, ops/topk.py)
-                amax = float(np.abs(v).max()) or 1.0
-                self._host_scale = amax / 127.0
-                self._host_codes = np.ascontiguousarray(
-                    np.clip(np.round(v / self._host_scale), -127, 127),
-                    dtype=np.int8,
-                )
+                # host-RAM refine store: THE flat-int8 quantizer (outlier-
+                # clipped percentile scale, ops/topk.py) — a reimplemented
+                # raw-amax scale would let one outlier row crush resolution
+                from ..ops.topk import quantize_global_int8
+
+                codes_dev, scale_dev = quantize_global_int8(jnp.asarray(v))
+                self._host_scale = float(np.asarray(scale_dev))
+                self._host_codes = np.ascontiguousarray(np.asarray(codes_dev))
             elif self.rescore_kind == "pq8":
                 # tier shares the listing's coarse centroids (built before
                 # _maybe_shard so they are still replicated here)

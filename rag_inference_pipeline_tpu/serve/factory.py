@@ -68,6 +68,13 @@ class IndexComponent:
 
         if self.settings.index_path:
             self.index = BaseIndex.load(self.settings.index_path, self.mesh)
+            # runtime knobs that are NOT index-artifact state: an artifact-
+            # loaded index must still honor the deployment's probe budgets
+            # (artifact load bypasses make_index, which applies these)
+            if hasattr(self.index, "nprobe_local"):
+                self.index.nprobe_local = self.settings.index_nprobe_local
+            if hasattr(self.index, "nprobe"):
+                self.index.nprobe = self.settings.index_nprobe
             from .spmd import SPMDIndexProxy, is_front_door, is_spmd
 
             if is_spmd():
@@ -129,6 +136,7 @@ _INDEX_CFG_KEYS = {
     "rescore_k": "index_rescore_k",
     "pq_rescore_k": "index_pq_rescore_k",
     "pq_rescore_kind": "index_pq_rescore_kind",
+    "nprobe_local": "index_nprobe_local",
     "cap_factor": "index_cap_factor",
 }
 

@@ -276,7 +276,9 @@ def main() -> None:
         hits = []
         for lo in range(0, args.nq - args.nq % b, b):
             rows = np.arange(lo, lo + b)
-            _, ids = search_fn(jnp.asarray(q_np[rows]), *extra)
+            # numpy in: jitted callees upload once; host-refine callees
+            # keep it on host (a jnp round-trip here doubles tunnel RTTs)
+            _, ids = search_fn(q_np[rows], *extra)
             hits.append(recall_against_gt(np.asarray(ids), rows))
         return float(np.mean(hits))
 
@@ -588,9 +590,12 @@ def main() -> None:
     if args.rescore_kind == "pq8":
         ladder_extra = (listing, tier)
         ladder_fn = pq_search_tier
-    else:
+    elif args.rescore_kind == "int8":
         ladder_extra = (listing, db_i8, scale_f)
         ladder_fn = pq_search
+    else:  # host_int8 drives its own ladder below (no device extras)
+        ladder_extra = ()
+        ladder_fn = None
 
     @functools.partial(jax.jit, static_argnames=("rescore", "nprobe"))
     def adc_dev(lst, qq, rescore, nprobe):
@@ -614,7 +619,9 @@ def main() -> None:
         np.asarray forces execution; PERF_NOTES 'Measurement reliability').
         Returns (total_ms, host_ms)."""
         variants = [np.asarray(v)[0] for v in variants_for(b, n_var=reps, stack=1)]
-        host_search(variants[0], nprobe=nprobe, rescore=rescore)  # warm
+        # warm on a row-reversed copy — NEVER a timed input (dedup hazard,
+        # PERF_NOTES / bench/protocol.py)
+        host_search(variants[0][::-1].copy(), nprobe=nprobe, rescore=rescore)
         totals, hosts = [], []
         from rag_inference_pipeline_tpu.index.ivf_pq import _host_int8_rescore
 
@@ -642,7 +649,7 @@ def main() -> None:
                     search = functools.partial(
                         host_search, nprobe=nprobe, rescore=rescore
                     )
-                    rec = recall_all(lambda qq, *a, **kw: search(np.asarray(qq)), b)
+                    rec = recall_all(search, b)
                     ms, host_ms = time_host(b, nprobe, rescore)
                 except Exception as e:  # noqa: BLE001
                     print(f"ivfpq4 B={b} nprobe={nprobe} rs={rescore} SKIP: "
