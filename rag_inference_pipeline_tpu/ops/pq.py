@@ -405,11 +405,32 @@ def ivfpq_search(
 # ---------------------------------------------------------------------------
 
 
+def _adc4_cap_chunk(cap: int, b_pad: int) -> int:
+    """Largest lane-aligned divisor of `cap` inside the VMEM-proven zone.
+
+    The kernel's VMEM residency scales with the bucket-block rows (codes
+    block + [rows, 128] broadcast/one-hot pair + [b_pad, rows] f32 out):
+    cap 9472 fails Mosaic compile on v5e at b_pad=8 while 8576 passes, and
+    the 10M ladder ran cap 6272 up to b_pad=32 — so buckets deeper than
+    the zone stream in row-chunks over a second grid dim instead of
+    hitting a hidden cap ceiling."""
+    limit = 6144 if b_pad <= 32 else 3072
+    if cap <= limit:
+        return cap
+    for c in range(limit - limit % 128, 127, -128):
+        if cap % c == 0:
+            return c
+    return 128
+
+
 def _adc4_kernel(slots_ref, lut_ref, codes_ref, out_ref, *, m, cap):
-    """Grid step s: ADC-score unique bucket slots[s] for every query.
+    """Grid step (s, c): ADC-score rows [c*cap, +cap) of unique bucket
+    slots[s] for every query (`cap` here is the block row count — the
+    full bucket when it fits VMEM, else a divisor chosen by
+    _adc4_cap_chunk).
 
     lut_ref:   [b_pad, m*16]  bf16 per-query LUTs (VMEM-resident)
-    codes_ref: [1, cap, m_store] uint8 PQ4 codes of this bucket
+    codes_ref: [1, cap, m_store] uint8 PQ4 codes of this bucket block
     out_ref:   [1, b_pad, cap] f32 scores
     """
     del slots_ref
@@ -449,7 +470,8 @@ def _adc4_kernel(slots_ref, lut_ref, codes_ref, out_ref, *, m, cap):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "nprobe", "max_slots", "interpret")
+    jax.jit,
+    static_argnames=("k", "nprobe", "max_slots", "interpret", "cap_block"),
 )
 def ivfpq4_search_dedup(
     listing: IVFPQListing,
@@ -459,6 +481,7 @@ def ivfpq4_search_dedup(
     nprobe: int = 64,
     max_slots: int = 0,
     interpret: bool = False,
+    cap_block: int = 0,  # 0 = auto (_adc4_cap_chunk); tests force small
 ) -> tuple[jax.Array, jax.Array]:
     """IVF-PQ4 search (IP, residual codes) with the one-hot MXU ADC kernel.
 
@@ -495,15 +518,22 @@ def ivfpq4_search_dedup(
         lut = jnp.pad(lut, ((0, b_pad - b), (0, 0)))
     lut = lut.astype(jnp.bfloat16)
 
-    kern = functools.partial(_adc4_kernel, m=m, cap=cap)
+    cblk = cap_block or _adc4_cap_chunk(cap, b_pad)
+    if cap % cblk:
+        raise ValueError(f"cap_block {cblk} must divide cap {cap}")
+    kern = functools.partial(_adc4_kernel, m=m, cap=cblk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_slots,),
+        grid=(n_slots, cap // cblk),
         in_specs=[
-            pl.BlockSpec((b_pad, m * 16), lambda s, slots: (0, 0)),
-            pl.BlockSpec((1, cap, m_store), lambda s, slots: (slots[s], 0, 0)),
+            pl.BlockSpec((b_pad, m * 16), lambda s, c, slots: (0, 0)),
+            pl.BlockSpec(
+                (1, cblk, m_store), lambda s, c, slots: (slots[s], c, 0)
+            ),
         ],
-        out_specs=pl.BlockSpec((1, b_pad, cap), lambda s, slots: (s, 0, 0)),
+        out_specs=pl.BlockSpec(
+            (1, b_pad, cblk), lambda s, c, slots: (s, 0, c)
+        ),
     )
     scores = pl.pallas_call(
         kern,
@@ -515,7 +545,7 @@ def ivfpq4_search_dedup(
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(slots, lut, listing.code_buckets)

@@ -175,3 +175,48 @@ class TestInt8GlobalScale:
         q, scale = quantize_global_int8(jnp.asarray(x))
         assert float(scale) < 1.0  # ~maxabs/127 of the non-outlier mass
         assert q.dtype == jnp.int8
+
+
+class TestADC4CapChunking:
+    """Deep buckets stream in row-chunks over a second grid dim (the cap
+    9472 Mosaic VMEM ceiling found at 30M) — results must be identical."""
+
+    def test_cap_block_equivalence(self, rng):
+        centers = rng.standard_normal((16, 64)).astype(np.float32)
+        x = centers[rng.integers(0, 16, 3000)] + 0.1 * rng.standard_normal(
+            (3000, 64)
+        ).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        listing = build_ivfpq(
+            jax.random.key(0), x, nlist=16, m=16, train_size=3000, ksub=16
+        )
+        q = jnp.asarray(x[:8])
+        s1, i1 = ivfpq4_search_dedup(listing, q, 32, nprobe=8, interpret=True)
+        s2, i2 = ivfpq4_search_dedup(
+            listing, q, 32, nprobe=8, interpret=True, cap_block=128
+        )
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(
+            np.asarray(s1), np.asarray(s2), atol=1e-4
+        )
+
+    def test_cap_chunk_chooser(self):
+        from rag_inference_pipeline_tpu.ops.pq import _adc4_cap_chunk
+
+        assert _adc4_cap_chunk(512, 8) == 512  # fits: untouched
+        assert _adc4_cap_chunk(6144, 32) == 6144
+        c = _adc4_cap_chunk(9472, 8)
+        assert 9472 % c == 0 and c <= 6144 and c % 128 == 0
+        c = _adc4_cap_chunk(9472, 128)  # large batch: tighter budget
+        assert 9472 % c == 0 and c <= 3072
+
+    def test_bad_cap_block_rejected(self, rng):
+        x = rng.standard_normal((512, 64)).astype(np.float32)
+        listing = build_ivfpq(
+            jax.random.key(0), x, nlist=4, m=16, train_size=512, ksub=16
+        )
+        with pytest.raises(ValueError, match="must divide cap"):
+            ivfpq4_search_dedup(
+                listing, jnp.asarray(x[:2]), 8, nprobe=4,
+                interpret=True, cap_block=100,
+            )
