@@ -100,6 +100,10 @@ class Settings(BaseModel):
     # true neighbors, so the shortlist must be ~25x k — 256 measured
     # 0.963 recall@10 at 100k vs 0.787 at 64 (tests/test_round2_gaps.py)
     index_rescore_k: int = 64
+    # flat-int8 exact rescore copy placement: "device" = bf16 in HBM (the
+    # <=5M default), "host" = f16 in host RAM with host-side shortlist
+    # refine — the >=10M recall play where the bf16 copy exceeds HBM
+    index_rescore_store: str = "device"
     index_pq_rescore_k: int = 256
     # IVF-PQ shortlist rescore store: "exact" = bf16 full vectors in HBM
     # (<=5M); "host_int8" = int8 codes in HOST RAM, device shortlist +
@@ -237,6 +241,11 @@ class Settings(BaseModel):
             raise ValueError(
                 "index_cap_factor must be >= 1.0 (bucket capacity as a "
                 "multiple of the mean list size)"
+            )
+        if self.index_rescore_store not in ("device", "host"):
+            raise ValueError(
+                "index_rescore_store must be 'device' (bf16 HBM) or "
+                "'host' (f16 host RAM, refine-from-storage)"
             )
         if self.index_pq_rescore_kind not in ("exact", "pq8", "host_int8"):
             raise ValueError(

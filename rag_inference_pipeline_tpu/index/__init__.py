@@ -19,6 +19,7 @@ def make_index(settings, mesh=None) -> BaseIndex:
             mesh=mesh,
             nbins=min(nbins, 2048),
             rescore_k=settings.index_rescore_k,
+            rescore_store=settings.index_rescore_store,
         )
     if kind is IndexKind.IVF_FLAT:
         idx = IVFFlatIndex(

@@ -64,6 +64,30 @@ def _chunked_device_put(
     return dst
 
 
+def _host_f16_rescore(
+    q: np.ndarray, store_f16: np.ndarray, ids: np.ndarray, k: int
+) -> tuple[jax.Array, jax.Array]:
+    """Exact host re-rank of a device shortlist against f16 originals.
+
+    q [B, D] f32; store_f16 [N, D]; ids [B, S] i32 (-1 = pad). Cost is
+    S*D f32 MACs per query on the host — microseconds at S<=2048."""
+    cand = store_f16[np.clip(ids, 0, None)].astype(np.float32)  # [B, S, D]
+    s = np.einsum("bsd,bd->bs", cand, q)
+    s = np.where(ids >= 0, s, -np.inf)
+    k = min(k, s.shape[1])
+    sel = np.argpartition(-s, k - 1, axis=1)[:, :k]
+    ss = np.take_along_axis(s, sel, axis=1)
+    order = np.argsort(-ss, axis=1)
+    return (
+        jnp.asarray(np.take_along_axis(ss, order, axis=1)),
+        jnp.asarray(
+            np.take_along_axis(
+                np.take_along_axis(ids, sel, axis=1), order, axis=1
+            )
+        ),
+    )
+
+
 class FlatIndex(BaseIndex):
     kind = "flat"
 
@@ -78,11 +102,21 @@ class FlatIndex(BaseIndex):
         nbins: int = 512,
         chunk: int = 4096,
         rescore_k: int = 64,  # int8 mode: exact bf16 re-score depth (0 = off)
+        rescore_store: str = "device",  # "device" (bf16 HBM) | "host" (f16 RAM)
     ) -> None:
         super().__init__(dim, metric)
         if dtype == "int8" and metric != "ip":
             raise ValueError("int8 storage supports metric='ip' only")
+        if rescore_store not in ("device", "host"):
+            raise ValueError("rescore_store must be 'device' or 'host'")
         self.rescore_k = rescore_k
+        # "host": the exact re-score copy lives in HOST RAM as f16 and the
+        # shortlist refines host-side (refine-from-storage). This is the
+        # >=10M recall play: at 10M x 768 the device bf16 copy is 15.7 GB
+        # (> HBM next to the codes), capping int8 recall at its 0.955
+        # quantization bound — the f16 host copy costs 0 HBM and restores
+        # the exact ranking. PERF_NOTES ">=30M single-chip regime".
+        self.rescore_store = rescore_store
         self.dtype_name = dtype
         self.mesh = mesh
         self.nbins = nbins
@@ -99,6 +133,7 @@ class FlatIndex(BaseIndex):
         self._db_sq: Optional[jax.Array] = None
         self._db_i8: Optional[jax.Array] = None  # SQ8 storage mode
         self._db_gscale: Optional[jax.Array] = None  # scalar f32
+        self._host_rescore: Optional[np.ndarray] = None  # f16 [ntotal, D]
 
     # -- build ------------------------------------------------------------
     def add(self, vectors: np.ndarray) -> None:
@@ -120,12 +155,29 @@ class FlatIndex(BaseIndex):
                     # re-add must not degrade the exact-rescore copy: use the
                     # bf16 originals, not dequantized int8
                     prev = self._db[: self.ntotal].astype(jnp.float32)
+                elif self._host_rescore is not None:
+                    prev = jnp.asarray(
+                        self._host_rescore[: self.ntotal], jnp.float32
+                    )
                 else:
                     prev = (
                         self._db_i8[: self.ntotal].astype(jnp.float32)
                         * self._db_gscale
                     )
                 new = jnp.concatenate([prev, new])
+            if self.rescore_k > 0 and self.rescore_store == "host":
+                # f16 originals stay host-side; nothing extra crosses to HBM
+                prev_h = (
+                    self._host_rescore[: self.ntotal]
+                    if self._host_rescore is not None
+                    else None
+                )
+                host_new = np.asarray(v, np.float16)
+                self._host_rescore = (
+                    np.concatenate([prev_h, host_new])
+                    if prev_h is not None
+                    else host_new
+                )
             n = new.shape[0]
             # quantize BEFORE padding (pad rows would skew the percentile
             # scale on small corpora), then pad codes + rescore copy
@@ -160,17 +212,18 @@ class FlatIndex(BaseIndex):
         dp-row-sharded when a multi-chip mesh is attached (VERDICT round-2
         item #3: the headline index config must honor mesh.dp at the index
         layer, not only inside the fused pipeline)."""
+        keep_dev = self.rescore_k > 0 and self.rescore_store == "device"
         if self.mesh is not None and self.mesh.dp > 1:
             self._db_i8 = self.mesh.put(db_i8, self.mesh.rows_dp)
             self._db_gscale = self.mesh.put(gscale)
-            if self.rescore_k > 0:
+            if keep_dev:
                 self._db = self.mesh.put(
                     rescore_f32.astype(jnp.bfloat16), self.mesh.rows_dp
                 )
         else:
             self._db_i8 = jax.device_put(db_i8)
             self._db_gscale = jax.device_put(gscale)
-            if self.rescore_k > 0:
+            if keep_dev:
                 self._db = jax.device_put(rescore_f32.astype(jnp.bfloat16))
 
     def _set_db(self, db: jax.Array) -> None:
@@ -209,6 +262,30 @@ class FlatIndex(BaseIndex):
         q = self.validate_queries(queries)
         if self.dtype_name == "int8":
             interpret = jax.default_backend() == "cpu"
+            if self.rescore_k > 0 and self._host_rescore is not None:
+                # refine-from-storage: device int8 shortlist (no on-chip
+                # rescore copy exists), host gathers the f16 originals and
+                # exactly re-ranks — ids cross the link, the store doesn't
+                s_k = min(max(self.rescore_k, k + 32), self.nbins)
+                if self.mesh is not None and self.mesh.dp > 1:
+                    _, ids = sharded_topk_int8gs(
+                        self.mesh, q, self._db_i8, self._db_gscale, s_k,
+                        nbins=self.nbins, chunk=self._chunk_i8,
+                        ntotal=self.ntotal, interpret=interpret,
+                    )
+                else:
+                    _, ids = fused_topk_int8gs(
+                        q, self._db_i8, self._db_gscale, s_k,
+                        nbins=self.nbins, chunk=self._chunk_i8,
+                        interpret=interpret, ntotal=self.ntotal,
+                        mm_bf16=False,
+                    )
+                return _host_f16_rescore(
+                    np.asarray(q, np.float32),
+                    self._host_rescore,
+                    np.asarray(ids),
+                    k,
+                )
             # rescore gate inside the kernel is `rescore_k > k`: keep the
             # exact bf16 re-score ON for any k by deepening the shortlist
             # (silently losing the rescore drops recall 0.998 -> ~0.975)
@@ -267,6 +344,10 @@ class FlatIndex(BaseIndex):
         """Fetch stored vectors by row id (for PQ re-score / debugging)."""
         ids = jnp.asarray(ids)
         if self.dtype_name == "int8" and self._db is None:
+            if self._host_rescore is not None:
+                return jnp.asarray(
+                    self._host_rescore[np.asarray(ids)].astype(np.float32)
+                )
             return (
                 jnp.take(self._db_i8, ids, axis=0).astype(jnp.float32)
                 * self._db_gscale
@@ -283,6 +364,9 @@ class FlatIndex(BaseIndex):
                 extra["vectors_rescore"] = np.asarray(
                     self._db[: self.ntotal].astype(jnp.float32), np.float16
                 )
+            elif self._host_rescore is not None:
+                extra["vectors_rescore"] = self._host_rescore[: self.ntotal]
+                extra["rescore_store"] = np.bytes_(b"host")
             save_npz(
                 path,
                 kind=self.kind,
@@ -339,7 +423,14 @@ class FlatIndex(BaseIndex):
                 idx._db_gscale = jax.device_put(
                     jnp.asarray(z["gscale"], jnp.float32)
                 )
-                if "vectors_rescore" in z:
+                if "vectors_rescore" in z and "rescore_store" in z:
+                    # host refine store: the f16 copy never touches HBM —
+                    # also the fastest boot path (no multi-GB upload)
+                    idx.rescore_store = "host"
+                    idx._host_rescore = np.ascontiguousarray(
+                        z["vectors_rescore"]
+                    )
+                elif "vectors_rescore" in z:
                     # convert f16 -> bf16 on the HOST (ml_dtypes): asking
                     # the device to convert holds the f16 AND bf16 copies
                     # in HBM at once — +6.9 GB transient at the 4.5M scale,
@@ -364,5 +455,6 @@ class FlatIndex(BaseIndex):
         self._db_sq = None
         self._db_i8 = None
         self._db_gscale = None
+        self._host_rescore = None
         self._loaded = False
         self.ntotal = 0

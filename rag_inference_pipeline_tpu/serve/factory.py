@@ -134,6 +134,7 @@ _INDEX_CFG_KEYS = {
     "pq_m": "index_pq_m",
     "pq_bits": "index_pq_bits",
     "rescore_k": "index_rescore_k",
+    "rescore_store": "index_rescore_store",
     "pq_rescore_k": "index_pq_rescore_k",
     "pq_rescore_kind": "index_pq_rescore_kind",
     "nprobe_local": "index_nprobe_local",

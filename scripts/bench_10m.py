@@ -26,13 +26,18 @@ rescore depth in {512, 2048} (recall was shortlist-bound at 512: 0.80
 measured vs a 0.96-0.99 layout candidate bound). Writes
 artifacts/round3/bench_10m.json.
 
---rescore-kind pq8 switches to the >=30M single-chip regime: NO flat
-store exists at that scale (30M x 768 int8 = 23 GB > 16 GB HBM), so the
-flat ladder is skipped and the PQ4 shortlist is re-ranked against a
-flat residual-PQ8 tier (ops/pq.py::PQFlatTier, n x m8 bytes = 2.9 GB at
-30M) sharing the listing's coarse centroids. Example:
-  bench_10m.py --n 30720000 --nlist 8192 --cap-factor 2.0 \
-      --rescore-kind pq8 --train-n 262144 --out .../bench_30m.json
+--rescore-kind {pq8,host_int8} switch to the >=30M single-chip regime:
+NO flat store exists at that scale (30M x 768 int8 = 23 GB > 16 GB
+HBM), so the flat ladder is skipped and the PQ4 shortlist re-ranks
+against either a flat residual-PQ8 tier in HBM (recall-tolerant; m8
+bytes/row) or an int8 refine store in HOST RAM (the recall-floor play —
+faiss refine-from-storage; regenerated host-side via the platform-
+deterministic keyed corpus, nothing big crosses the link). 30M example:
+  bench_10m.py --n 30720000 --nlist 8192 --rescore-kind host_int8 \
+      --train-n 262144 --out artifacts/round3/bench_30m.json
+--flat-host-rescore (int8 kind) additionally measures the flat ladder
+with an f16 host refine (index/flat.py rescore_store="host") — the
+recall row the on-chip bf16 copy can't provide at >=10M.
 """
 
 from __future__ import annotations
@@ -78,6 +83,10 @@ def main() -> None:
     #     near-ties).
     ap.add_argument("--rescore-kind", choices=("int8", "pq8", "host_int8"),
                     default="int8")
+    # int8 kind only: ALSO measure the flat ladder with an f16 host-RAM
+    # refine of the device shortlist (index/flat.py rescore_store="host")
+    # — the recall row the on-chip bf16 copy can't provide at >=10M
+    ap.add_argument("--flat-host-rescore", action="store_true")
     ap.add_argument("--m8", type=int, default=96,
                     help="PQ8 tier subspaces (classic geometry: d/8)")
     ap.add_argument("--train-n", type=int, default=131072,
@@ -282,6 +291,92 @@ def main() -> None:
             hits.append(recall_against_gt(np.asarray(ids), rows))
         return float(np.mean(hits))
 
+    def regen_host_store(kind):
+        """Rebuild the keyed corpus host-side on the in-process CPU backend
+        (threefry is platform-deterministic; asserted vs device rows).
+        kind="int8" -> global-scale codes; kind="f16" -> raw rows. Nothing
+        big crosses the link either way."""
+        th = time.time()
+        cpu0 = jax.devices("cpu")[0]
+        centers_np = np.asarray(_centers).astype(np.float32)
+        scale_np = float(np.asarray(scale))
+        with jax.default_device(cpu0):
+            key_c = jax.random.key(0)
+            which_c = jax.random.split(jax.random.fold_in(key_c, 999))[1]
+            gen_c = jax.random.fold_in(key_c, 555)
+            centers_c = jnp.asarray(centers_np)
+
+            @jax.jit
+            def host_block(i, centers):
+                def chunk(j):
+                    idx = i * n_ch + j
+                    which = jax.random.randint(
+                        jax.random.fold_in(which_c, idx), (gch,), 0,
+                        n_centers,
+                    )
+                    x = centers[which] + sigma * jax.random.normal(
+                        jax.random.fold_in(gen_c, idx), (gch, d), jnp.float32
+                    )
+                    x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+                    # mirror the device ingest dtype path: bf16 storage
+                    # precision first
+                    xb = x.astype(jnp.bfloat16)
+                    if kind == "int8":
+                        return jnp.clip(
+                            jnp.round(xb.astype(jnp.float32) / scale_np),
+                            -127, 127,
+                        ).astype(jnp.int8)
+                    # every bf16 value is exactly representable in f16
+                    return xb.astype(jnp.float16)
+
+                return jax.lax.map(chunk, jnp.arange(n_ch)).reshape(blk, d)
+
+            store = np.empty((n, d), np.int8 if kind == "int8" else np.float16)
+            for i in range(n_blocks):
+                store[i * blk : (i + 1) * blk] = np.asarray(
+                    host_block(i, centers_c)
+                )
+                if i == 0:
+                    # cross-platform determinism check vs the device rows
+                    # (int8: compare post-clip — the 99.9th-pct scale
+                    # legitimately saturates a few outlier coords; allow 1
+                    # step for cross-backend normal() ulp)
+                    dev_rows = np.asarray(x0_head).astype(np.float32)
+                    if kind == "int8":
+                        dev_q = np.clip(
+                            np.round(dev_rows / scale_np), -127, 127
+                        )
+                        err = np.abs(
+                            store[:1024].astype(np.float32) - dev_q
+                        ).max()
+                        assert err <= 1.01, (
+                            f"host regen diverged ({err:.2f} int8 steps)"
+                        )
+                    else:
+                        err = np.abs(
+                            store[:1024].astype(np.float32) - dev_rows
+                        ).max()
+                        assert err < 1e-3, f"host regen diverged ({err:.2e})"
+                print(f"  host store block {i + 1}/{n_blocks}", flush=True)
+        print(f"host {kind} store: {time.time() - th:.0f}s "
+              f"({store.nbytes / 2**30:.1f} GB host RAM)", flush=True)
+        return store, scale_np
+
+    def time_wall(search_np, b, reps=5):
+        """Median wall-clock ms/call for a host-facing search (numpy in),
+        INCLUDING device-dispatch + ids-fetch RTT; warm on a row-reversed
+        copy (never a timed input — dedup hazard, PERF_NOTES)."""
+        variants = [
+            np.asarray(v)[0] for v in variants_for(b, n_var=reps, stack=1)
+        ]
+        search_np(variants[0][::-1].copy())
+        times = []
+        for v in variants:
+            t0_ = time.perf_counter()
+            search_np(v)
+            times.append((time.perf_counter() - t0_) * 1e3)
+        return float(np.median(times))
+
     # ---- phase 2: flat-int8 ladder ("" skips: already-measured rerun) ---
     # device arrays are passed to time_inprogram's scanner via `extra`,
     # never closed over (PERF_NOTES "Tunnel hazard")
@@ -307,6 +402,46 @@ def main() -> None:
             "recall": round(rec, 4), "qps": round(qps, 1),
         })
         _write(args.out, results)
+
+    if args.flat_host_rescore and args.rescore_kind == "int8":
+        # flat-int8 shortlist + f16 host refine (index/flat.py
+        # rescore_store="host"): the recall row the on-chip bf16 copy
+        # cannot provide at this scale
+        from rag_inference_pipeline_tpu.index.flat import _host_f16_rescore
+
+        host_f16, _ = regen_host_store("f16")
+        results["flat_int8_host_rescore"] = []
+
+        @functools.partial(jax.jit, static_argnames=("kk",))
+        def flat_short(qq, dbi, sc, kk):
+            return fused_topk_int8gs(
+                qq, dbi, sc, kk, nbins=nbins, chunk=chunk,
+                ntotal=n, mm_bf16=mm, interpret=interpret,
+            )
+
+        for b in (int(x) for x in args.flat_batches.split(",") if x):
+            for s_k in (64, 256):
+                def search_np(qq_np, _sk=s_k):
+                    _, ids = flat_short(
+                        jnp.asarray(qq_np), db_i8, scale, _sk
+                    )
+                    return _host_f16_rescore(
+                        np.asarray(qq_np, np.float32), host_f16,
+                        np.asarray(ids), k,
+                    )
+
+                rec = recall_all(search_np, b)
+                ms = time_wall(search_np, b)
+                qps = b / (ms / 1e3)
+                print(f"flat+host B={b:4d} sk={s_k:4d}: {ms:8.2f} ms "
+                      f"recall {rec:.3f} QPS {qps:8.0f}", flush=True)
+                results["flat_int8_host_rescore"].append({
+                    "batch": b, "shortlist": s_k,
+                    "ms_wall_incl_rtt": round(ms, 2),
+                    "recall": round(rec, 4), "qps": round(qps, 1),
+                })
+                _write(args.out, results)
+        del host_f16
 
     # ---- phase 3: IVF-PQ4 build ----------------------------------------
     # training rows are a fresh sample from the SAME mixture, not a slice of
@@ -484,65 +619,10 @@ def main() -> None:
     host_codes = None
     host_scale = 0.0
     if args.rescore_kind == "host_int8":
-        # host-RAM refine store, built by REGENERATING the keyed corpus on
-        # the in-process CPU backend — threefry is platform-deterministic,
-        # so host rows match device rows (asserted below) and nothing big
-        # crosses the tunnel. 23 GB at 30M x 768 sits in host RAM.
-        th = time.time()
-        cpu0 = jax.devices("cpu")[0]
-        host_scale = float(np.asarray(scale))
-        centers_np = np.asarray(_centers).astype(np.float32)
-        with jax.default_device(cpu0):
-            key_c = jax.random.key(0)
-            which_c = jax.random.split(jax.random.fold_in(key_c, 999))[1]
-            gen_c = jax.random.fold_in(key_c, 555)
-            centers_c = jnp.asarray(centers_np)
-
-            @jax.jit
-            def host_block_i8(i, centers):
-                def chunk(j):
-                    idx = i * n_ch + j
-                    which = jax.random.randint(
-                        jax.random.fold_in(which_c, idx), (gch,), 0, n_centers
-                    )
-                    x = centers[which] + sigma * jax.random.normal(
-                        jax.random.fold_in(gen_c, idx), (gch, d), jnp.float32
-                    )
-                    x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
-                    # mirror the device ingest dtype path: bf16 storage
-                    # precision, then global-scale int8
-                    xf = x.astype(jnp.bfloat16).astype(jnp.float32)
-                    return jnp.clip(
-                        jnp.round(xf / host_scale), -127, 127
-                    ).astype(jnp.int8)
-
-                return jax.lax.map(chunk, jnp.arange(n_ch)).reshape(blk, d)
-
-            host_codes = np.empty((n, d), np.int8)
-            for i in range(n_blocks):
-                host_codes[i * blk : (i + 1) * blk] = np.asarray(
-                    host_block_i8(i, centers_c)
-                )
-                if i == 0:
-                    # cross-platform determinism check: host int8 rows must
-                    # match the clipped quantization of the device rows
-                    # (the 99.9th-pct clip scale legitimately saturates a
-                    # few outlier coords — compare post-clip, allow 1 step
-                    # for cross-backend normal() ulp at round boundaries)
-                    dev_rows = np.asarray(x0_head).astype(np.float32)
-                    dev_q = np.clip(
-                        np.round(dev_rows / host_scale), -127, 127
-                    )
-                    err = np.abs(
-                        host_codes[:1024].astype(np.float32) - dev_q
-                    ).max()
-                    assert err <= 1.01, (
-                        f"host regeneration diverged from device rows "
-                        f"(max int8-step err {err:.2f})"
-                    )
-                print(f"  host store block {i + 1}/{n_blocks}", flush=True)
-        print(f"host refine store: {time.time() - th:.0f}s "
-              f"({n * d / 2**30:.1f} GB host RAM)", flush=True)
+        # host-RAM refine store (regen_host_store: keyed CPU-backend
+        # rebuild, nothing big crosses the link). 23 GB at 30M x 768 sits
+        # in host RAM where it could never sit in HBM.
+        host_codes, host_scale = regen_host_store("int8")
     print(f"ivfpq4 build total: {time.time() - t0:.0f}s", flush=True)
 
     # ---- phase 4: IVF-PQ4 ladder (+ exact-int8 shortlist re-score) ------

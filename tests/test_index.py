@@ -538,3 +538,73 @@ class TestShardedHostRefine:
             [len(set(ids[i]) & set(oracle[i])) / 10 for i in range(16)]
         )
         assert rec >= 0.8, rec
+
+
+class TestFlatHostRescore:
+    """flat-int8 with rescore_store="host": f16 originals in host RAM,
+    device shortlist + exact host refine (the >=10M recall play where the
+    device bf16 copy exceeds HBM)."""
+
+    def _int8(self, corpus, **kw):
+        idx = FlatIndex(32, dtype="int8", rescore_k=64, **kw)
+        idx.add(corpus)
+        return idx
+
+    def test_host_matches_device_rescore(self, corpus, rng):
+        dev = self._int8(corpus)
+        host = self._int8(corpus, rescore_store="host")
+        assert host._host_rescore is not None and host._db is None
+        assert dev._db is not None
+        q = corpus[:16]
+        oi = oracle_ids(q, corpus, 10)
+        _, i_d = dev.search(q, 10)
+        _, i_h = host.search(q, 10)
+        rd = np.mean([len(set(np.asarray(i_d)[b]) & set(oi[b])) / 10 for b in range(16)])
+        rh = np.mean([len(set(np.asarray(i_h)[b]) & set(oi[b])) / 10 for b in range(16)])
+        # f16 host refine vs bf16 device refine: f16 has MORE mantissa —
+        # recall must be at least as good up to near-exact ties
+        assert rh >= rd - 0.02
+        assert rh >= 0.95
+
+    def test_host_saveload_boot_path(self, corpus, tmp_path):
+        idx = self._int8(corpus, rescore_store="host")
+        q = corpus[:8]
+        _, i1 = idx.search(q, 10)
+        p = str(tmp_path / "flat_host.npz")
+        idx.save(p)
+        idx2 = BaseIndex.load(p)
+        assert idx2.rescore_store == "host"
+        assert idx2._host_rescore is not None and idx2._db is None
+        _, i2 = idx2.search(q, 10)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_host_incremental_add(self, corpus):
+        idx = self._int8(corpus[:1024], rescore_store="host")
+        idx.add(corpus[1024:])
+        assert idx.ntotal == len(corpus)
+        assert idx._host_rescore.shape[0] == len(corpus)
+        q = corpus[:8]
+        oi = oracle_ids(q, corpus, 10)
+        _, ids = idx.search(q, 10)
+        rec = np.mean([len(set(np.asarray(ids)[b]) & set(oi[b])) / 10 for b in range(8)])
+        assert rec >= 0.95
+
+    def test_host_sharded_dp8(self, corpus, rng, mesh_dp8):
+        idx = FlatIndex(
+            32, dtype="int8", rescore_k=64, rescore_store="host",
+            mesh=mesh_dp8,
+        )
+        idx.add(corpus)
+        q = corpus[:8]
+        oi = oracle_ids(q, corpus, 10)
+        _, ids = idx.search(q, 10)
+        rec = np.mean([len(set(np.asarray(ids)[b]) & set(oi[b])) / 10 for b in range(8)])
+        assert rec >= 0.95
+
+    def test_settings_wire_rescore_store(self):
+        s = Settings(index_kind="flat", index_dim=64, index_pq_m=8,
+                     index_dtype="int8", index_rescore_store="host")
+        idx = make_index(s)
+        assert isinstance(idx, FlatIndex) and idx.rescore_store == "host"
+        with pytest.raises(Exception):
+            Settings(index_rescore_store="hbm")
