@@ -97,6 +97,71 @@ int clamp_threads(int nthreads) {
   return nthreads;
 }
 
+
+// Portable IEEE half -> float (the f16 host refine store; no F16C
+// dependency so the lib builds on any x86-64).
+inline float half_to_float(uint16_t h) {
+  uint32_t sign = (uint32_t)(h & 0x8000u) << 16;
+  uint32_t exp = (h >> 10) & 0x1F;
+  uint32_t man = h & 0x3FFu;
+  uint32_t bits;
+  if (exp == 0) {
+    if (man == 0) {
+      bits = sign;  // +-0
+    } else {        // subnormal: normalize
+      int e = -1;
+      uint32_t m = man;
+      do {
+        ++e;
+        m <<= 1;
+      } while (!(m & 0x400u));
+      bits = sign | ((uint32_t)(127 - 15 - e) << 23) | ((m & 0x3FFu) << 13);
+    }
+  } else if (exp == 31) {
+    bits = sign | 0x7F800000u | (man << 13);  // inf / nan
+  } else {
+    bits = sign | ((exp - 15 + 127) << 23) | (man << 13);
+  }
+  float f;
+  std::memcpy(&f, &bits, sizeof(f));
+  return f;
+}
+
+// Shared shortlist re-score driver: scores[b*s] computed in parallel over
+// the flattened (query, slot) range, then per-query top-k. ScoreFn maps
+// (qi, row_id) -> float.
+template <typename ScoreFn>
+void rescore_topk(int b, int s, int k, int nthreads, const int32_t* ids,
+                  ScoreFn score, float* out_s, int32_t* out_i) {
+  nthreads = clamp_threads(nthreads);
+  std::vector<float> scores((size_t)b * s);
+  int64_t total = (int64_t)b * s;
+  std::atomic<int64_t> next(0);
+  const int64_t grain = 256;
+  auto worker = [&]() {
+    for (;;) {
+      int64_t lo = next.fetch_add(grain);
+      if (lo >= total) return;
+      int64_t hi = std::min(lo + grain, total);
+      for (int64_t t = lo; t < hi; ++t) {
+        int qi = (int)(t / s);
+        int32_t id = ids[t];
+        scores[t] = (id < 0) ? -3.0e38f : score(qi, id);
+      }
+    }
+  };
+  std::vector<std::thread> ts;
+  for (int t = 1; t < nthreads; ++t) ts.emplace_back(worker);
+  worker();
+  for (auto& th : ts) th.join();
+
+  std::vector<KHeap> heaps(b, KHeap(k));
+  for (int qi = 0; qi < b; ++qi)
+    for (int j = 0; j < s; ++j)
+      heaps[qi].push(scores[(size_t)qi * s + j], ids[(size_t)qi * s + j]);
+  emit_sorted(heaps, b, k, out_s, out_i);
+}
+
 }  // namespace
 
 extern "C" {
@@ -200,5 +265,43 @@ void cs_scan_ivf_f32(const float* q, int b, const float* centroids,
 }
 
 int cs_hw_threads() { return (int)std::thread::hardware_concurrency(); }
+
+
+// Exact host re-score of a device shortlist against an int8 store with one
+// global scale (the >=30M refine-from-storage path, index/ivf_pq.py
+// rescore_kind="host_int8"). q [b,d] f32; codes [n,d] i8; ids [b,s] i32
+// (-1 = masked). out_s/out_i [b,k] sorted desc.
+void cs_rescore_i8(const float* q, int b, const int8_t* codes, int64_t n,
+                   int d, float scale, const int32_t* ids, int s, int k,
+                   int nthreads, float* out_s, int32_t* out_i) {
+  (void)n;
+  rescore_topk(b, s, k, nthreads, ids,
+               [&](int qi, int32_t id) {
+                 const int8_t* row = codes + (int64_t)id * d;
+                 const float* qr = q + (int64_t)qi * d;
+                 float acc = 0.f;
+#pragma GCC ivdep
+                 for (int j = 0; j < d; ++j) acc += qr[j] * (float)row[j];
+                 return acc * scale;
+               },
+               out_s, out_i);
+}
+
+// Same against an f16 store (index/flat.py rescore_store="host").
+void cs_rescore_f16(const float* q, int b, const uint16_t* store, int64_t n,
+                    int d, const int32_t* ids, int s, int k, int nthreads,
+                    float* out_s, int32_t* out_i) {
+  (void)n;
+  rescore_topk(b, s, k, nthreads, ids,
+               [&](int qi, int32_t id) {
+                 const uint16_t* row = store + (int64_t)id * d;
+                 const float* qr = q + (int64_t)qi * d;
+                 float acc = 0.f;
+                 for (int j = 0; j < d; ++j)
+                   acc += qr[j] * half_to_float(row[j]);
+                 return acc;
+               },
+               out_s, out_i);
+}
 
 }  // extern "C"

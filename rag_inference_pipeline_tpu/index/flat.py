@@ -70,7 +70,17 @@ def _host_f16_rescore(
     """Exact host re-rank of a device shortlist against f16 originals.
 
     q [B, D] f32; store_f16 [N, D]; ids [B, S] i32 (-1 = pad). Cost is
-    S*D f32 MACs per query on the host — microseconds at S<=2048."""
+    S*D f32 MACs per query on the host. The native multithreaded kernel
+    (native/cpuscan.cc::cs_rescore_f16) avoids numpy's gather + astype
+    transients (measured 8.5 ms -> sub-ms at S=4096); numpy fallback for
+    hosts without a toolchain."""
+    try:
+        from ..utils.cpuscan import rescore_f16
+
+        s_n, i_n = rescore_f16(q, np.ascontiguousarray(store_f16), ids, k)
+        return jnp.asarray(s_n), jnp.asarray(i_n)
+    except Exception:  # noqa: BLE001 — no g++ / build failure
+        pass
     cand = store_f16[np.clip(ids, 0, None)].astype(np.float32)  # [B, S, D]
     s = np.einsum("bsd,bd->bs", cand, q)
     s = np.where(ids >= 0, s, -np.inf)

@@ -314,9 +314,18 @@ def _host_int8_rescore(
     """Exact host-side re-score of a device shortlist (refine-from-storage).
 
     q [B, D] f32; codes [N, D] i8 (host RAM); ids [B, S] i32, -1 invalid.
-    Cost per query: S*D int8->f32 MACs on the host — microseconds at
-    S=2048, vs a store that could never fit HBM.
+    Cost per query: S*D int8->f32 MACs on the host, vs a store that could
+    never fit HBM. The native multithreaded kernel
+    (native/cpuscan.cc::cs_rescore_i8) avoids numpy's gather + astype
+    transients; numpy fallback for hosts without a toolchain.
     """
+    try:
+        from ..utils.cpuscan import rescore_i8
+
+        s_n, i_n = rescore_i8(q, codes, scale, ids, k)
+        return jnp.asarray(s_n), jnp.asarray(i_n)
+    except Exception:  # noqa: BLE001 — no g++ / build failure
+        pass
     cand = codes[np.clip(ids, 0, None)].astype(np.float32)  # [B, S, D]
     s = np.einsum("bsd,bd->bs", cand, q) * scale
     s = np.where(ids >= 0, s, NEG_INF)

@@ -29,6 +29,7 @@ _F32P = ctypes.POINTER(ctypes.c_float)
 _I8P = ctypes.POINTER(ctypes.c_int8)
 _I32P = ctypes.POINTER(ctypes.c_int32)
 _I64P = ctypes.POINTER(ctypes.c_int64)
+_U16P = ctypes.POINTER(ctypes.c_uint16)
 
 
 def load_lib() -> ctypes.CDLL:
@@ -63,6 +64,15 @@ def load_lib() -> ctypes.CDLL:
             _F32P, ctypes.c_int, _F32P, ctypes.c_int, ctypes.c_int, _F32P,
             _I32P, _I64P, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             _F32P, _I32P,
+        ]
+        lib.cs_rescore_i8.argtypes = [
+            _F32P, ctypes.c_int, _I8P, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_float, _I32P, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            _F32P, _I32P,
+        ]
+        lib.cs_rescore_f16.argtypes = [
+            _F32P, ctypes.c_int, _U16P, ctypes.c_int64, ctypes.c_int,
+            _I32P, ctypes.c_int, ctypes.c_int, ctypes.c_int, _F32P, _I32P,
         ]
         lib.cs_hw_threads.restype = ctypes.c_int
         _lib = lib
@@ -139,6 +149,60 @@ def scan_ivf_f32(
         q.ctypes.data_as(_F32P), b, c.ctypes.data_as(_F32P), nlist,
         q.shape[1], v.ctypes.data_as(_F32P), li.ctypes.data_as(_I32P),
         off.ctypes.data_as(_I64P), nprobe, k, nthreads,
+        out_s.ctypes.data_as(_F32P), out_i.ctypes.data_as(_I32P),
+    )
+    return out_s, out_i
+
+
+def rescore_i8(
+    queries: np.ndarray,
+    codes: np.ndarray,
+    scale: float,
+    ids: np.ndarray,
+    k: int,
+    *,
+    nthreads: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact shortlist re-score against a host int8 refine store (the
+    >=30M refine-from-storage path). queries [B,D] f32; codes [N,D] i8
+    C-contiguous; ids [B,S] i32, -1 masked. Returns sorted top-k."""
+    q = np.ascontiguousarray(queries, np.float32)
+    i = np.ascontiguousarray(ids, np.int32)
+    b, s = i.shape
+    k = min(k, s)
+    out_s = np.empty((b, k), np.float32)
+    out_i = np.empty((b, k), np.int32)
+    load_lib().cs_rescore_i8(
+        q.ctypes.data_as(_F32P), b, codes.ctypes.data_as(_I8P),
+        ctypes.c_int64(codes.shape[0]), q.shape[1], ctypes.c_float(scale),
+        i.ctypes.data_as(_I32P), s, k, nthreads,
+        out_s.ctypes.data_as(_F32P), out_i.ctypes.data_as(_I32P),
+    )
+    return out_s, out_i
+
+
+def rescore_f16(
+    queries: np.ndarray,
+    store_f16: np.ndarray,
+    ids: np.ndarray,
+    k: int,
+    *,
+    nthreads: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact shortlist re-score against a host f16 refine store
+    (index/flat.py rescore_store="host"). store_f16 [N,D] C-contiguous."""
+    q = np.ascontiguousarray(queries, np.float32)
+    i = np.ascontiguousarray(ids, np.int32)
+    assert store_f16.dtype == np.float16
+    b, s = i.shape
+    k = min(k, s)
+    out_s = np.empty((b, k), np.float32)
+    out_i = np.empty((b, k), np.int32)
+    load_lib().cs_rescore_f16(
+        q.ctypes.data_as(_F32P), b,
+        store_f16.ctypes.data_as(_U16P),
+        ctypes.c_int64(store_f16.shape[0]), q.shape[1],
+        i.ctypes.data_as(_I32P), s, k, nthreads,
         out_s.ctypes.data_as(_F32P), out_i.ctypes.data_as(_I32P),
     )
     return out_s, out_i

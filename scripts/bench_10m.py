@@ -443,6 +443,13 @@ def main() -> None:
                 _write(args.out, results)
         del host_f16
 
+    if not args.pq_batches.strip():
+        # flat-only run (e.g. --flat-host-rescore refresh): skip the
+        # ~20-min PQ build + ladder entirely
+        _write(args.out, results)
+        print(f"wrote {args.out} (flat-only run)", flush=True)
+        return
+
     # ---- phase 3: IVF-PQ4 build ----------------------------------------
     # training rows are a fresh sample from the SAME mixture, not a slice of
     # block 0: materializing a full 1M x 768 block outside jit costs ~6 GB
