@@ -88,8 +88,18 @@ class BaseIndex(abc.ABC):
         return dt
 
     @staticmethod
-    def load(path: str, mesh: Optional[MeshContext] = None) -> "BaseIndex":
-        """Dispatch on the artifact's declared kind."""
+    def load(
+        path: str,
+        mesh: Optional[MeshContext] = None,
+        *,
+        rescore_store: Optional[str] = None,
+    ) -> "BaseIndex":
+        """Dispatch on the artifact's declared kind.
+
+        `rescore_store` ("device" | "host") overrides where a flat-int8
+        artifact's rescore copy lands — a DEPLOYMENT choice, not artifact
+        state: "host" keeps the f16 copy in host RAM (zero HBM, no
+        multi-GB boot upload — 6.9 GB at the 4.5M reference scale)."""
         from .flat import FlatIndex
         from .ivf_flat import IVFFlatIndex
         from .ivf_pq import IVFPQIndex
@@ -103,6 +113,8 @@ class BaseIndex(abc.ABC):
         }.get(kind)
         if impl is None:
             raise ValueError(f"unknown index kind {kind!r} in {path}")
+        if kind == "flat" and rescore_store is not None:
+            return impl._load(path, mesh, rescore_store=rescore_store)
         return impl._load(path, mesh)
 
 

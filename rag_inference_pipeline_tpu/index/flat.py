@@ -401,7 +401,13 @@ class FlatIndex(BaseIndex):
         )
 
     @classmethod
-    def _load(cls, path: str, mesh: Optional[MeshContext] = None) -> "FlatIndex":
+    def _load(
+        cls,
+        path: str,
+        mesh: Optional[MeshContext] = None,
+        *,
+        rescore_store: Optional[str] = None,
+    ) -> "FlatIndex":
         with np.load(path, allow_pickle=False) as z:
             idx = cls(
                 int(z["dim"]),
@@ -409,6 +415,10 @@ class FlatIndex(BaseIndex):
                 dtype=str(z["dtype"]),
                 mesh=mesh,
             )
+            if rescore_store is not None:
+                # deployment override: where the rescore copy LANDS is not
+                # artifact state (BaseIndex.load docstring)
+                idx.rescore_store = rescore_store
             if "vectors_i8" in z and "scales" in z:
                 # legacy per-row-scale save: dequantize and re-add through
                 # the global-scale build path
@@ -433,7 +443,10 @@ class FlatIndex(BaseIndex):
                 idx._db_gscale = jax.device_put(
                     jnp.asarray(z["gscale"], jnp.float32)
                 )
-                if "vectors_rescore" in z and "rescore_store" in z:
+                want_host = idx.rescore_store == "host" or (
+                    "rescore_store" in z and rescore_store is None
+                )
+                if "vectors_rescore" in z and want_host:
                     # host refine store: the f16 copy never touches HBM —
                     # also the fastest boot path (no multi-GB upload)
                     idx.rescore_store = "host"

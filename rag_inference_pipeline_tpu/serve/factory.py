@@ -67,7 +67,13 @@ class IndexComponent:
         from ..index.base import BaseIndex
 
         if self.settings.index_path:
-            self.index = BaseIndex.load(self.settings.index_path, self.mesh)
+            self.index = BaseIndex.load(
+                self.settings.index_path,
+                self.mesh,
+                # deployment choice, not artifact state: "host" keeps the
+                # f16 rescore copy in host RAM (no multi-GB boot upload)
+                rescore_store=self.settings.index_rescore_store,
+            )
             # runtime knobs that are NOT index-artifact state: an artifact-
             # loaded index must still honor the deployment's probe budgets
             # (artifact load bypasses make_index, which applies these)

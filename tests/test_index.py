@@ -608,3 +608,28 @@ class TestFlatHostRescore:
         assert isinstance(idx, FlatIndex) and idx.rescore_store == "host"
         with pytest.raises(Exception):
             Settings(index_rescore_store="hbm")
+
+    def test_load_override_moves_device_artifact_to_host(self, corpus, tmp_path):
+        """A device-saved artifact (the 4.5M reference-scale shape) loaded
+        with rescore_store="host" must keep the f16 copy host-side — the
+        boot path that skips the multi-GB rescore upload."""
+        dev = self._int8(corpus)  # rescore_store="device"
+        p = str(tmp_path / "flat_dev.npz")
+        dev.save(p)
+        q = corpus[:8]
+        _, i_dev = dev.search(q, 10)
+        idx = BaseIndex.load(p, rescore_store="host")
+        assert idx.rescore_store == "host"
+        assert idx._host_rescore is not None and idx._db is None
+        _, i_host = idx.search(q, 10)
+        oi = oracle_ids(q, corpus, 10)
+        rh = np.mean(
+            [len(set(np.asarray(i_host)[b]) & set(oi[b])) / 10 for b in range(8)]
+        )
+        assert rh >= 0.95
+        # and the reverse: a host-saved artifact forced onto the device
+        p2 = str(tmp_path / "flat_host2.npz")
+        host = self._int8(corpus, rescore_store="host")
+        host.save(p2)
+        back = BaseIndex.load(p2, rescore_store="device")
+        assert back._db is not None and back._host_rescore is None
