@@ -247,11 +247,13 @@ class Settings(BaseModel):
                 "index_rescore_store must be 'device' (bf16 HBM) or "
                 "'host' (f16 host RAM, refine-from-storage)"
             )
-        if self.index_pq_rescore_kind not in ("exact", "pq8", "host_int8"):
+        if self.index_pq_rescore_kind not in (
+            "exact", "pq8", "host_int8", "host_f16"
+        ):
             raise ValueError(
                 "index_pq_rescore_kind must be 'exact' (bf16 vectors), "
-                "'pq8' (flat residual-PQ8 tier) or 'host_int8' (host-RAM "
-                "refine store)"
+                "'pq8' (flat residual-PQ8 tier), 'host_int8' or "
+                "'host_f16' (host-RAM refine stores)"
             )
         return self
 

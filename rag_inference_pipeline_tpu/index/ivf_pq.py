@@ -53,9 +53,10 @@ class IVFPQIndex(BaseIndex):
             raise ValueError(f"dim {dim} not divisible by pq m {m}")
         if ksub not in (16, 256):
             raise ValueError("ksub must be 16 (PQ4) or 256 (PQ8)")
-        if rescore_kind not in ("exact", "pq8", "host_int8"):
+        if rescore_kind not in ("exact", "pq8", "host_int8", "host_f16"):
             raise ValueError(
-                "rescore_kind must be 'exact', 'pq8' or 'host_int8'"
+                "rescore_kind must be 'exact', 'pq8', 'host_int8' or "
+                "'host_f16'"
             )
         # ksub=16 (PQ4) enables the one-hot MXU ADC dedup kernel on TPU —
         # the gather-free scan; double m to keep bits/row equal to PQ8
@@ -78,7 +79,11 @@ class IVFPQIndex(BaseIndex):
         #                 storage shape): device produces the ADC
         #                 shortlist, host gathers + exactly re-scores.
         #                 The >=30M single-chip recall-floor play — 23 GB
-        #                 at 30M x 768 fits host RAM, never HBM.
+        #                 at 30M x 768 fits host RAM, never HBM. Ceiling:
+        #                 int8 ranking precision (~0.958 measured at 30M).
+        #   "host_f16"  — f16 originals in HOST RAM (2 bytes/dim, 46 GB
+        #                 at 30M): same shape, near-exact ranking — use
+        #                 when host RAM allows 2x the int8 store.
         self.rescore_k = rescore_k
         self.rescore_kind = rescore_kind
         # PQ8 tier subspace count; 0 = 4-dim subspaces (dim / 4) — the
@@ -93,6 +98,7 @@ class IVFPQIndex(BaseIndex):
         self._tier: Optional[PQFlatTier] = None  # rescore_kind == "pq8"
         self._host_codes: Optional[np.ndarray] = None  # "host_int8" [N,D] i8
         self._host_scale: float = 0.0
+        self._host_f16: Optional[np.ndarray] = None  # "host_f16" [N,D]
         self._rotation: Optional[jax.Array] = None  # [D, D] when opq
         self._sharded = False
 
@@ -147,7 +153,9 @@ class IVFPQIndex(BaseIndex):
             ksub=self.ksub,
         )
         if self.rescore_k > 0:
-            if self.rescore_kind == "host_int8":
+            if self.rescore_kind == "host_f16":
+                self._host_f16 = np.ascontiguousarray(v, np.float16)
+            elif self.rescore_kind == "host_int8":
                 # host-RAM refine store: THE flat-int8 quantizer (outlier-
                 # clipped percentile scale, ops/topk.py) — a reimplemented
                 # raw-amax scale would let one outlier row crush resolution
@@ -197,6 +205,14 @@ class IVFPQIndex(BaseIndex):
         else:
             def adc(qq, kk):
                 return ivfpq_search(self._listing, qq, kk, nprobe=self.nprobe)
+        if self.rescore_k and self._host_f16 is not None:
+            from .flat import _host_f16_rescore
+
+            shortlist = max(k, self.rescore_k)
+            _, i = adc(q, shortlist)
+            return _host_f16_rescore(
+                np.asarray(q, np.float32), self._host_f16, np.asarray(i), k
+            )
         if self.rescore_k and self._host_codes is not None:
             shortlist = max(k, self.rescore_k)
             _, i = adc(q, shortlist)
@@ -233,6 +249,8 @@ class IVFPQIndex(BaseIndex):
         if self._host_codes is not None:
             extra["host_codes"] = self._host_codes
             extra["host_scale"] = np.float32(self._host_scale)
+        if self._host_f16 is not None:
+            extra["host_f16"] = self._host_f16
         if self._rotation is not None:
             extra["rotation"] = np.asarray(self._rotation, np.float32)
         save_npz(
@@ -291,6 +309,9 @@ class IVFPQIndex(BaseIndex):
                 idx._host_codes = np.ascontiguousarray(z["host_codes"])
                 idx._host_scale = float(z["host_scale"])
                 idx.rescore_kind = "host_int8"
+            if "host_f16" in z:
+                idx._host_f16 = np.ascontiguousarray(z["host_f16"])
+                idx.rescore_kind = "host_f16"
             if "rotation" in z:
                 idx._rotation = jnp.asarray(z["rotation"], jnp.float32)
                 idx.opq = True
@@ -304,6 +325,7 @@ class IVFPQIndex(BaseIndex):
         self._vectors = None
         self._tier = None
         self._host_codes = None
+        self._host_f16 = None
         self._loaded = False
         self.ntotal = 0
 

@@ -81,7 +81,8 @@ def main() -> None:
     #     device-only capacity point: measured precision wall means
     #     mid-recall on tight clusters (>=4 bits/dim needed to re-rank
     #     near-ties).
-    ap.add_argument("--rescore-kind", choices=("int8", "pq8", "host_int8"),
+    ap.add_argument("--rescore-kind",
+                    choices=("int8", "pq8", "host_int8", "host_f16"),
                     default="int8")
     # int8 kind only: ALSO measure the flat ladder with an f16 host-RAM
     # refine of the device shortlist (index/flat.py rescore_store="host")
@@ -255,11 +256,14 @@ def main() -> None:
         ) if args.rescore_kind == "int8" else (
             f">=30M regime: flat-int8 store = {n * d / 2**30:.1f} GB > "
             "HBM — no flat ladder exists at this scale; rescore store = "
-            + ("host-RAM int8 refine (device shortlist + exact host "
-               "re-score; ladder times INCLUDE the ids-fetch RTT)"
-               if args.rescore_kind == "host_int8" else
-               f"flat residual-PQ8 tier in HBM "
-               f"({n * args.m8 / 2**30:.1f} GB, m8={args.m8})")
+            + ({"host_int8": "host-RAM int8 refine (device shortlist + "
+                             "exact host re-score; ladder times INCLUDE "
+                             "the ids-fetch RTT)",
+                "host_f16": "host-RAM f16 refine (near-exact ranking; "
+                            "ladder times INCLUDE the ids-fetch RTT)",
+                }.get(args.rescore_kind,
+                      f"flat residual-PQ8 tier in HBM "
+                      f"({n * args.m8 / 2**30:.1f} GB, m8={args.m8})"))
         ),
     }, "flat_int8": [], "ivfpq4": []}
 
@@ -625,11 +629,16 @@ def main() -> None:
         )
     host_codes = None
     host_scale = 0.0
+    host_f16_store = None
     if args.rescore_kind == "host_int8":
         # host-RAM refine store (regen_host_store: keyed CPU-backend
         # rebuild, nothing big crosses the link). 23 GB at 30M x 768 sits
         # in host RAM where it could never sit in HBM.
         host_codes, host_scale = regen_host_store("int8")
+    elif args.rescore_kind == "host_f16":
+        # f16 originals (46 GB at 30M): near-exact ranking — the int8
+        # refine's ceiling is int8 ranking precision (~0.958 measured)
+        host_f16_store, _ = regen_host_store("f16")
     print(f"ivfpq4 build total: {time.time() - t0:.0f}s", flush=True)
 
     # ---- phase 4: IVF-PQ4 ladder (+ exact-int8 shortlist re-score) ------
@@ -691,11 +700,17 @@ def main() -> None:
         )
 
     def host_search(qq_np, *, nprobe, rescore):
-        # the product path (index/ivf_pq.py rescore_kind="host_int8"):
-        # device shortlist -> ids fetch -> exact host refine
+        # the product path (index/ivf_pq.py rescore_kind="host_int8" /
+        # "host_f16"): device shortlist -> ids fetch -> exact host refine
+        from rag_inference_pipeline_tpu.index.flat import _host_f16_rescore
         from rag_inference_pipeline_tpu.index.ivf_pq import _host_int8_rescore
 
         _, ids_ = adc_dev(listing, jnp.asarray(qq_np), rescore, nprobe)
+        if host_f16_store is not None:
+            return _host_f16_rescore(
+                np.asarray(qq_np, np.float32), host_f16_store,
+                np.asarray(ids_), k,
+            )
         return _host_int8_rescore(
             np.asarray(qq_np, np.float32), host_codes, host_scale,
             np.asarray(ids_), k,
@@ -710,6 +725,7 @@ def main() -> None:
         # PERF_NOTES / bench/protocol.py)
         host_search(variants[0][::-1].copy(), nprobe=nprobe, rescore=rescore)
         totals, hosts = [], []
+        from rag_inference_pipeline_tpu.index.flat import _host_f16_rescore
         from rag_inference_pipeline_tpu.index.ivf_pq import _host_int8_rescore
 
         for v in variants:
@@ -717,9 +733,14 @@ def main() -> None:
             _, ids_ = adc_dev(listing, jnp.asarray(v), rescore, nprobe)
             ids_np = np.asarray(ids_)
             t1_ = time.perf_counter()
-            _host_int8_rescore(
-                v.astype(np.float32), host_codes, host_scale, ids_np, k
-            )
+            if host_f16_store is not None:
+                _host_f16_rescore(
+                    v.astype(np.float32), host_f16_store, ids_np, k
+                )
+            else:
+                _host_int8_rescore(
+                    v.astype(np.float32), host_codes, host_scale, ids_np, k
+                )
             t2_ = time.perf_counter()
             totals.append((t2_ - t0_) * 1e3)
             hosts.append((t2_ - t1_) * 1e3)
@@ -731,7 +752,7 @@ def main() -> None:
             (np_, rs) for np_ in (int(x) for x in args.nprobes.split(","))
             for rs in rescores
         ):
-            if args.rescore_kind == "host_int8":
+            if args.rescore_kind in ("host_int8", "host_f16"):
                 try:
                     search = functools.partial(
                         host_search, nprobe=nprobe, rescore=rescore

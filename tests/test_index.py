@@ -633,3 +633,44 @@ class TestFlatHostRescore:
         host.save(p2)
         back = BaseIndex.load(p2, rescore_store="device")
         assert back._db is not None and back._host_rescore is None
+
+
+class TestIVFPQHostF16:
+    """rescore_kind="host_f16": f16 originals in host RAM — near-exact
+    ranking where the int8 refine's precision ceiling binds."""
+
+    def test_host_f16_search_saveload(self, corpus, tmp_path):
+        idx = IVFPQIndex(
+            32, nlist=8, m=8, nprobe=8, rescore_k=128,
+            ksub=16, rescore_kind="host_f16",
+        )
+        idx.train_add(corpus, train_size=2048, kmeans_iters=8, pq_iters=8)
+        assert idx._host_f16 is not None and idx._host_codes is None
+        q = corpus[:16]
+        oi = oracle_ids(q, corpus, 10)
+        _, ids = idx.search(q, 10)
+        rec = np.mean(
+            [len(set(np.asarray(ids)[b]) & set(oi[b])) / 10 for b in range(16)]
+        )
+        assert rec >= 0.9  # full probe + near-exact refine
+        p = str(tmp_path / "ivfpq_hostf16.npz")
+        idx.save(p)
+        idx2 = BaseIndex.load(p)
+        assert idx2.rescore_kind == "host_f16" and idx2._host_f16 is not None
+        _, i2 = idx2.search(q, 10)
+        np.testing.assert_array_equal(np.asarray(ids), np.asarray(i2))
+
+    def test_f16_at_least_as_good_as_int8_refine(self, corpus):
+        a = IVFPQIndex(32, nlist=8, m=8, nprobe=8, rescore_k=128,
+                       ksub=16, rescore_kind="host_int8")
+        a.train_add(corpus, train_size=2048, kmeans_iters=8, pq_iters=8)
+        b = IVFPQIndex(32, nlist=8, m=8, nprobe=8, rescore_k=128,
+                       ksub=16, rescore_kind="host_f16")
+        b.train_add(corpus, train_size=2048, kmeans_iters=8, pq_iters=8)
+        q = corpus[:16]
+        oi = oracle_ids(q, corpus, 10)
+        _, ia = a.search(q, 10)
+        _, ib = b.search(q, 10)
+        ra = np.mean([len(set(np.asarray(ia)[x]) & set(oi[x])) / 10 for x in range(16)])
+        rb = np.mean([len(set(np.asarray(ib)[x]) & set(oi[x])) / 10 for x in range(16)])
+        assert rb >= ra - 0.02
