@@ -130,9 +130,10 @@ inline float half_to_float(uint16_t h) {
 // Shared shortlist re-score driver: scores[b*s] computed in parallel over
 // the flattened (query, slot) range, then per-query top-k. ScoreFn maps
 // (qi, row_id) -> float.
-template <typename ScoreFn>
+template <typename ScoreFn, typename PrefetchFn>
 void rescore_topk(int b, int s, int k, int nthreads, const int32_t* ids,
-                  ScoreFn score, float* out_s, int32_t* out_i) {
+                  ScoreFn score, PrefetchFn prefetch, float* out_s,
+                  int32_t* out_i) {
   nthreads = clamp_threads(nthreads);
   std::vector<float> scores((size_t)b * s);
   int64_t total = (int64_t)b * s;
@@ -143,7 +144,12 @@ void rescore_topk(int b, int s, int k, int nthreads, const int32_t* ids,
       int64_t lo = next.fetch_add(grain);
       if (lo >= total) return;
       int64_t hi = std::min(lo + grain, total);
+      // software-prefetch a few tasks ahead: the gather is random rows
+      // from a multi-GB store, so the row-start miss (+TLB walk)
+      // dominates; overlap it with the current row's dot
+      const int64_t PF = 6;
       for (int64_t t = lo; t < hi; ++t) {
+        if (t + PF < hi && ids[t + PF] >= 0) prefetch(ids[t + PF]);
         int qi = (int)(t / s);
         int32_t id = ids[t];
         scores[t] = (id < 0) ? -3.0e38f : score(qi, id);
@@ -284,6 +290,11 @@ void cs_rescore_i8(const float* q, int b, const int8_t* codes, int64_t n,
                  for (int j = 0; j < d; ++j) acc += qr[j] * (float)row[j];
                  return acc * scale;
                },
+               [&](int32_t id) {
+                 const char* row = (const char*)(codes + (int64_t)id * d);
+                 for (int off = 0; off < d; off += 64)
+                   __builtin_prefetch(row + off, 0, 1);
+               },
                out_s, out_i);
 }
 
@@ -300,6 +311,11 @@ void cs_rescore_f16(const float* q, int b, const uint16_t* store, int64_t n,
                  for (int j = 0; j < d; ++j)
                    acc += qr[j] * half_to_float(row[j]);
                  return acc;
+               },
+               [&](int32_t id) {
+                 const char* row = (const char*)(store + (int64_t)id * d);
+                 for (int off = 0; off < 2 * d; off += 64)
+                   __builtin_prefetch(row + off, 0, 1);
                },
                out_s, out_i);
 }
