@@ -28,7 +28,11 @@ from jax.sharding import PartitionSpec as P
 
 from ..core.mesh import DP_AXIS, MeshContext
 from ..models.bert import BertConfig, bert_embed
-from ..models.qwen import QwenConfig, greedy_generate
+from ..models.qwen import (
+    QwenConfig,
+    greedy_generate,
+    ngram_speculative_generate,
+)
 from ..ops.topk import (
     exact_topk,
     fused_topk,
@@ -108,6 +112,13 @@ class DeviceRAGPipeline:
     # None -> shard the token store over dp when dp > 1 (a replicated store
     # is 2.3 GB/device at reference scale); False forces replication
     shard_doc_tokens: Optional[bool] = None
+    # n-gram self-speculative decode inside the fused step (token-identical
+    # to greedy; RAG answers quote their context, so prompt-lookup
+    # acceptance is high exactly here). inject_accept_p: acceptance-
+    # injection benchmark mode (models/qwen.py docstring)
+    speculative: bool = False
+    spec_gamma: int = 8
+    inject_accept_p: Optional[float] = None
 
     def build(
         self,
@@ -178,6 +189,9 @@ class DeviceRAGPipeline:
                 index_int8=self.index_dtype == "int8",
                 rescore_k=self.rescore_k,
                 tokens_sharded=self._tokens_sharded,
+                speculative=self.speculative,
+                spec_gamma=self.spec_gamma,
+                inject_accept_p=self.inject_accept_p,
             ),
             static_argnames=(),
         )
@@ -235,6 +249,9 @@ def _rag_step(
     index_int8: bool = False,
     rescore_k: int = 64,
     tokens_sharded: bool = False,
+    speculative: bool = False,
+    spec_gamma: int = 8,
+    inject_accept_p: Optional[float] = None,
 ):
     # 1. embed queries (TP over heads/FFN, batch over dp)
     emb = bert_embed(bert_params, bert_cfg, query_tokens, query_mask)
@@ -288,14 +305,28 @@ def _rag_step(
     prompt = jnp.take_along_axis(prompt, order, axis=1)
     pmask = jnp.take_along_axis(pmask, order, axis=1)
 
-    # 4. greedy decode with KV cache
-    toks = greedy_generate(
-        qwen_params,
-        qwen_cfg,
-        prompt,
-        pmask,
-        max_new_tokens,
-        eos_token_id=-1,
-        cache_len=prompt.shape[1] + max_new_tokens,
-    )
+    # 4. decode with KV cache: greedy, or n-gram self-speculation (one
+    #    in-program while_loop — the whole RAG step stays ONE dispatch)
+    if speculative:
+        toks, _kbar = ngram_speculative_generate(
+            qwen_params,
+            qwen_cfg,
+            prompt,
+            pmask,
+            max_new_tokens,
+            gamma=spec_gamma,
+            eos_token_id=-1,
+            cache_len=prompt.shape[1] + max_new_tokens,
+            inject_accept_p=inject_accept_p,
+        )
+    else:
+        toks = greedy_generate(
+            qwen_params,
+            qwen_cfg,
+            prompt,
+            pmask,
+            max_new_tokens,
+            eos_token_id=-1,
+            cache_len=prompt.shape[1] + max_new_tokens,
+        )
     return RAGStepOutput(tokens=toks, doc_ids=ids, scores=scores)

@@ -265,3 +265,34 @@ class TestFusedStepDecodeEquivalence:
                 )
             )[0]
             np.testing.assert_array_equal(np.asarray(out.tokens)[b], ref)
+
+
+class TestFusedSpeculative:
+    def test_spec_fused_step_token_identical(self, rng):
+        """speculative=True inside the fused step (one in-program
+        while_loop — the whole RAG step stays ONE dispatch) must emit
+        exactly the greedy fused step's tokens."""
+        ctx = make_mesh(dp=4, tp=2)
+        bert_cfg, qwen_cfg = BertConfig.tiny(), QwenConfig.tiny()
+        n, d = 256, bert_cfg.hidden
+        db = rng.standard_normal((n, d)).astype(np.float32)
+        doc_tokens = rng.integers(1, 400, (n, 8)).astype(np.int32)
+        kwargs = dict(
+            mesh=ctx, bert_cfg=bert_cfg, qwen_cfg=qwen_cfg,
+            k=5, ctx_docs=2, doc_tok_len=8, max_new_tokens=6,
+        )
+        bp = init_bert_params(jax.random.key(1), bert_cfg)
+        qp = init_qwen_params(jax.random.key(2), qwen_cfg)
+        greedy = DeviceRAGPipeline(**kwargs)
+        greedy.build(bp, qp, db, doc_tokens)
+        spec = DeviceRAGPipeline(speculative=True, spec_gamma=4, **kwargs)
+        spec.build(bp, qp, db, doc_tokens)
+        q = rng.integers(1, 400, (8, 8)).astype(np.int32)
+        out_g = greedy.step(q, np.ones_like(q))
+        out_s = spec.step(q, np.ones_like(q))
+        np.testing.assert_array_equal(
+            np.asarray(out_g.doc_ids), np.asarray(out_s.doc_ids)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_g.tokens), np.asarray(out_s.tokens)
+        )
