@@ -136,6 +136,10 @@ class Settings(BaseModel):
     # retrieved context (models/qwen.py::ngram_speculative_generate)
     use_speculative_decoding: bool = False
     speculative_gamma: int = 8
+    # int8 weight quantization for the LLM decode path (W8A8-dynamic,
+    # models/qwen.py::quantize_qwen_params): halves the per-step HBM weight
+    # stream — the measured B=1 decode wall. "none" keeps param_dtype.
+    llm_weight_quant: str = "none"  # none | int8
     # verify rounds per engine segment when the decode engine and
     # speculation are BOTH enabled (engine/decode_engine.py::_segment_spec)
     speculative_rounds: int = 2
@@ -216,6 +220,13 @@ class Settings(BaseModel):
     def _check_node_number(cls, v: int) -> int:
         if v not in (0, 1, 2):
             raise ValueError("node_number must be 0, 1 or 2")
+        return v
+
+    @field_validator("llm_weight_quant")
+    @classmethod
+    def _check_llm_quant(cls, v: str) -> str:
+        if v not in ("none", "int8"):
+            raise ValueError("llm_weight_quant must be 'none' or 'int8'")
         return v
 
     @field_validator("index_metric")

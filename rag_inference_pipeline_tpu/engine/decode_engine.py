@@ -35,6 +35,7 @@ from ..models.layers import KVCache
 from ..models.qwen import (
     QwenConfig,
     bigram_draft,
+    param_compute_dtype,
     qwen_decode_step,
     qwen_extend,
     qwen_prefill,
@@ -333,7 +334,9 @@ class DecodeEngine:
         s_alloc = cache_len + (gamma + 1 if speculative else 0)
         self.cache = KVCache.zeros(
             cfg.layers, lanes, s_alloc, cfg.kv_heads, cfg.head_dim,
-            dtype=jnp.bfloat16 if params["embed"].dtype == jnp.bfloat16 else jnp.float32,
+            dtype=jnp.bfloat16
+            if param_compute_dtype(params) == jnp.bfloat16
+            else jnp.float32,
         )
         if mesh is not None and mesh.n_devices > 1:
             # lane KV pool sharded like the params: kv heads over tp, lanes

@@ -33,8 +33,78 @@ def rms_norm(x, weight, eps: float = 1e-6):
     return (x32 * jax.lax.rsqrt(var + eps) * weight).astype(x.dtype)
 
 
+class QuantizedLinear(NamedTuple):
+    """Weight-only int8 linear: w ~= q * s[None, :] (per-output-column scales).
+
+    Decode at small batch is a weight-stream problem (PERF_NOTES: 1.70
+    ms/step at B=1 = the 0.92 GB bf16 read at ~550 GB/s effective), so
+    storing matmul weights as int8 halves the bytes every step pulls from
+    HBM. Compute is W8A8-dynamic: activations quantize per token (symmetric
+    abs-max), the dot runs s8 x s8 -> s32 on the MXU (the same native int8
+    pass the index kernels use), and the result dequantizes in f32 with
+    act_scale * col_scale. Replaces what the reference would reach for with
+    torch.quantization / bitsandbytes (reference components/llm.py loads
+    fp32 torch weights; no quantization upstream)."""
+
+    q: jax.Array  # [in, out] int8
+    s: jax.Array  # [out] f32 column scales
+
+
+class QuantizedEmbed(NamedTuple):
+    """int8 token-embedding table with per-row (per-vocab-token) scales.
+
+    Quantizing the table matters twice for tied-embedding LMs: the lookup
+    gather is cheap either way, but the tied lm-head dot streams the whole
+    [V, H] table every decode step (0.27 GB bf16 for Qwen2.5-0.5B)."""
+
+    q: jax.Array  # [V, H] int8
+    s: jax.Array  # [V] f32 row scales
+
+
+def quantize_linear(w) -> QuantizedLinear:
+    """Symmetric per-output-column int8 quantization of a [in, out] weight."""
+    w32 = jnp.asarray(w).astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(w32), axis=0), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w32 / s[None, :]), -127, 127).astype(jnp.int8)
+    return QuantizedLinear(q=q, s=s)
+
+
+def quantize_embed(w) -> QuantizedEmbed:
+    """Symmetric per-row int8 quantization of a [V, H] embedding table."""
+    w32 = jnp.asarray(w).astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(w32), axis=1), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w32 / s[:, None]), -127, 127).astype(jnp.int8)
+    return QuantizedEmbed(q=q, s=s)
+
+
+def quantize_act_rows(x) -> tuple[jax.Array, jax.Array]:
+    """Dynamic symmetric int8 quantization over the last axis.
+
+    Returns (q int8 same shape, scales f32 [..., 1]). The activation side of
+    the W8A8 decode dot; at decode shapes ([B, 1, H]) this is noise next to
+    the weight stream it unlocks."""
+    x32 = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _qdense(x, w: QuantizedLinear):
+    xq, xs = quantize_act_rows(x)
+    acc = jax.lax.dot_general(
+        xq,
+        w.q,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * xs * w.s
+
+
 def dense(x, w, b=None):
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+    if isinstance(w, QuantizedLinear):
+        y = _qdense(x, w).astype(x.dtype)
+    else:
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
     if b is not None:
         y = y + b
     return y

@@ -23,9 +23,14 @@ import jax.numpy as jnp
 
 from .layers import (
     KVCache,
+    QuantizedEmbed,
+    QuantizedLinear,
     apply_rope,
     attention,
     dense,
+    quantize_act_rows,
+    quantize_embed,
+    quantize_linear,
     rms_norm,
     rope_frequencies,
 )
@@ -103,6 +108,44 @@ def init_qwen_params(key: jax.Array, cfg: QwenConfig, dtype=jnp.float32) -> dict
     return params
 
 
+def quantize_qwen_params(params: dict) -> dict:
+    """int8-quantize every matmul weight (W8A8-dynamic decode path).
+
+    Attention/MLP projections and the lm head (tied table included) become
+    QuantizedLinear/QuantizedEmbed; norms and biases stay as-is. The whole
+    weight stream a decode step reads drops ~2x (0.92 GB bf16 -> 0.47 GB for
+    Qwen2.5-0.5B), which is the measured per-step wall at B=1. Settings knob:
+    llm_weight_quant="int8" (core/config.py)."""
+    out = {
+        "embed": quantize_embed(params["embed"]),
+        "final_ln": params["final_ln"],
+        "layers": [],
+    }
+    if "lm_head" in params:
+        out["lm_head"] = quantize_linear(params["lm_head"])
+    for lp in params["layers"]:
+        nl = dict(lp)
+        for k in ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w"):
+            nl[k] = quantize_linear(lp[k])
+        out["layers"].append(nl)
+    return out
+
+
+def param_compute_dtype(params: dict):
+    """Activation dtype of the model — robust to quantized embed tables."""
+    return params["final_ln"].dtype
+
+
+def _embed_rows(params: dict, ids: jax.Array) -> jax.Array:
+    """Token-embedding lookup, dequantizing per-row when the table is int8."""
+    e = params["embed"]
+    if isinstance(e, QuantizedEmbed):
+        rows = jnp.take(e.q, ids, axis=0).astype(jnp.float32)
+        rows = rows * jnp.take(e.s, ids)[..., None]
+        return rows.astype(param_compute_dtype(params))
+    return jnp.take(e, ids, axis=0)
+
+
 class DecodeState(NamedTuple):
     cache: KVCache
     positions: jax.Array  # [B] i32 — next absolute position per lane
@@ -146,7 +189,24 @@ def _block(
 
 def _logits(params, cfg, x):
     y = rms_norm(x, params["final_ln"], cfg.eps)
-    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    e = params["embed"] if cfg.tie_embeddings else params["lm_head"]
+    if cfg.tie_embeddings and isinstance(e, QuantizedEmbed):
+        # tied head: contract H against the int8 table's dim 1 (no transpose
+        # materializes); scales = act row-scale x table row-scale
+        yq, ys = quantize_act_rows(y)
+        acc = jax.lax.dot_general(
+            yq, e.q, (((y.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32) * ys * e.s
+    if not cfg.tie_embeddings and isinstance(e, QuantizedLinear):
+        yq, ys = quantize_act_rows(y)
+        acc = jax.lax.dot_general(
+            yq, e.q, (((y.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32) * ys * e.s
+    head = e.T if cfg.tie_embeddings else e
     return jnp.dot(
         y.astype(jnp.float32), head.astype(jnp.float32),
         preferred_element_type=jnp.float32,
@@ -163,7 +223,7 @@ def qwen_forward(
     b, t = input_ids.shape
     cos, sin = rope_frequencies(cfg.head_dim, cfg.max_len, cfg.rope_theta)
     positions = jnp.maximum(jnp.cumsum(attn_mask, axis=1) - 1, 0).astype(jnp.int32)
-    x = jnp.take(params["embed"], input_ids, axis=0)
+    x = _embed_rows(params, input_ids)
     rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
     causal = (cols <= rows)[None, None]
@@ -191,7 +251,7 @@ def qwen_prefill(
     cos, sin = rope_frequencies(cfg.head_dim, cfg.max_len, cfg.rope_theta)
     positions = jnp.maximum(jnp.cumsum(attn_mask, axis=1) - 1, 0).astype(jnp.int32)
     lengths = jnp.sum(attn_mask, axis=1).astype(jnp.int32)
-    x = jnp.take(params["embed"], input_ids, axis=0)
+    x = _embed_rows(params, input_ids)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (t, s), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (t, s), 1)
@@ -229,7 +289,7 @@ def qwen_decode_step(
     s = cache.k.shape[2]
     cos, sin = rope_frequencies(cfg.head_dim, cfg.max_len, cfg.rope_theta)
     positions = cache.length[:, None]  # [B, 1]
-    x = jnp.take(params["embed"], tokens, axis=0)[:, None, :]
+    x = _embed_rows(params, tokens)[:, None, :]
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
     mask = (cols[None] <= positions[:, :, None])[:, None]  # [B,1,1,S]
     new_k, new_v = [], []
@@ -264,7 +324,7 @@ def greedy_generate(
     s = cache_len or (t + max_new_tokens)
     cache = KVCache.zeros(
         cfg.layers, b, s, cfg.kv_heads, cfg.head_dim,
-        dtype=params["embed"].dtype,
+        dtype=param_compute_dtype(params),
     )
     logits, cache = qwen_prefill(params, cfg, input_ids, attn_mask, cache)
     first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -305,7 +365,7 @@ def qwen_extend(
     s = cache.k.shape[2]
     cos, sin = rope_frequencies(cfg.head_dim, cfg.max_len, cfg.rope_theta)
     positions = cache.length[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
-    x = jnp.take(params["embed"], tokens, axis=0)  # [B, T, H]
+    x = _embed_rows(params, tokens)  # [B, T, H]
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, t, s), 2)
     mask = (cols <= positions[:, :, None])[:, None]  # [B, 1, T, S]
     new_k, new_v = [], []
@@ -382,7 +442,7 @@ def ngram_speculative_generate(
     s = s + gamma + 1  # verify windows may overhang before rollback
     cache = KVCache.zeros(
         cfg.layers, b, s, cfg.kv_heads, cfg.head_dim,
-        dtype=params["embed"].dtype,
+        dtype=param_compute_dtype(params),
     )
     logits, cache = qwen_prefill(params, cfg, input_ids, attn_mask, cache)
     first = jnp.argmax(logits, axis=-1).astype(jnp.int32)

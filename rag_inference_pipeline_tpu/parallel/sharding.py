@@ -30,34 +30,57 @@ def _ns(mesh, *spec) -> NamedSharding:
 
 
 def qwen_param_sharding(mesh_ctx: MeshContext, params: dict) -> dict:
-    """Sharding pytree matching models.qwen.init_qwen_params layout."""
+    """Sharding pytree matching models.qwen.init_qwen_params layout.
+
+    Quantized leaves (models.layers.QuantizedLinear/QuantizedEmbed) get the
+    same placement as their bf16 counterpart: the int8 block follows the
+    weight's split and the per-output-column scale vector shards with the
+    columns (so a column-split stays fully local; a row-split replicates the
+    scales — they multiply AFTER the psum'd s32 accumulate dequantizes)."""
+    from ..models.layers import QuantizedEmbed, QuantizedLinear
+
     m = mesh_ctx.mesh
     repl = _ns(m)
     col = _ns(m, None, TP_AXIS)  # [in, out]: split output features
     row = _ns(m, TP_AXIS, None)  # [in, out]: split input features
+    vec_tp = _ns(m, TP_AXIS)
+
+    def _wq(p, base):
+        """Sharding for a maybe-quantized weight leaf."""
+        if isinstance(p, QuantizedLinear):
+            return QuantizedLinear(
+                q=base, s=vec_tp if base is col else repl
+            )
+        return base
+
+    def _embed_sharding(p):
+        if isinstance(p, QuantizedEmbed):
+            return QuantizedEmbed(q=repl, s=repl)
+        return repl
+
     out: dict[str, Any] = {
-        "embed": repl,
+        "embed": _embed_sharding(params["embed"]),
         "final_ln": repl,
         "layers": [],
     }
     if "lm_head" in params:
-        out["lm_head"] = col
+        out["lm_head"] = _wq(params["lm_head"], col)
     for lp in params["layers"]:
         ls = {
             "in_ln": repl,
-            "q_w": col,
-            "k_w": col,
-            "v_w": col,
-            "o_w": row,
+            "q_w": _wq(lp["q_w"], col),
+            "k_w": _wq(lp["k_w"], col),
+            "v_w": _wq(lp["v_w"], col),
+            "o_w": _wq(lp["o_w"], row),
             "post_ln": repl,
-            "gate_w": col,
-            "up_w": col,
-            "down_w": row,
+            "gate_w": _wq(lp["gate_w"], col),
+            "up_w": _wq(lp["up_w"], col),
+            "down_w": _wq(lp["down_w"], row),
         }
         if "q_b" in lp:
-            ls["q_b"] = _ns(m, TP_AXIS)
-            ls["k_b"] = _ns(m, TP_AXIS)
-            ls["v_b"] = _ns(m, TP_AXIS)
+            ls["q_b"] = vec_tp
+            ls["k_b"] = vec_tp
+            ls["v_b"] = vec_tp
         out["layers"].append(ls)
     return out
 

@@ -43,6 +43,12 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--stack", type=int, default=2)
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument(
+        "--llm-quant", action="store_true",
+        help="int8 matmul weights for the decoder (W8A8-dynamic, "
+        "models/qwen.py::quantize_qwen_params) — halves the per-step HBM "
+        "weight stream that dominates the fused step at B=1",
+    )
     ap.add_argument("--out", default="artifacts/round3/e2e_fused.json")
     args = ap.parse_args()
 
@@ -84,6 +90,13 @@ def main() -> None:
     qwen_params = init_qwen_params(
         jax.random.fold_in(key, 2), qwen_cfg, dtype=jnp.bfloat16
     )
+    if args.llm_quant:
+        from rag_inference_pipeline_tpu.models.qwen import (
+            quantize_qwen_params,
+        )
+
+        qwen_params = quantize_qwen_params(qwen_params)
+        print("llm weights quantized: W8A8-dynamic int8", flush=True)
 
     # device-generated corpus: normalized rows in 64k chunks (keyed)
     gch = 65536
@@ -155,6 +168,7 @@ def main() -> None:
     results = {"config": {
         "n": n, "d": d, "batch": b, "tokens": args.tokens,
         "gamma": args.gamma, "backend": jax.default_backend(),
+        "llm_quant": "int8" if args.llm_quant else "bf16",
         "protocol": "in-program lax.scan (no host RTT; "
                     "PERF_NOTES 'Measurement reliability')",
     }, "rows": []}

@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""int8 weight-quantized decode benchmark (llm_weight_quant="int8").
+
+PERF_NOTES "Round 2 batch-1 latency": the B=1 decode floor is 1.70 ms/step
+on this rig = the 0.92 GB bf16 weight stream. W8A8-dynamic quantization
+(models/qwen.py::quantize_qwen_params) halves the bytes each step pulls
+from HBM, so the roofline predicts ~0.9 ms/step single-chip — the same win
+TP=2 buys, without a second chip. This bench measures it honestly:
+
+- in-program lax.scan decode loop (cache carried, steps can't dedup),
+  params passed as jit ARGS (PERF_NOTES "Tunnel hazard": closed-over arrays
+  ship as HLO constants and hang the remote compile helper);
+- per-config: decode ms/step at B in {1, 8}, prefill ms at T=128, and a
+  gamma+1 verify-window (qwen_extend) ms/call — the speculative building
+  block;
+- bf16 baseline and int8 measured in the SAME process (CLAUDE.md: relative
+  same-process comparisons are the trustworthy kind through the tunnel).
+
+Reference hot loop being replaced: src/pipeline/components/llm.py:343-350
+(fp32 torch, one token per forward, no quantization anywhere upstream).
+
+Writes artifacts/round3/quant_decode.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true", help="tiny cfg on CPU")
+    ap.add_argument("--steps", type=int, default=64, help="scan trip count")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cache-len", type=int, default=384)
+    ap.add_argument("--prompt-len", type=int, default=128)
+    ap.add_argument("--gamma", type=int, default=8)
+    ap.add_argument("--batches", type=int, nargs="+", default=[1, 8])
+    args = ap.parse_args()
+
+    if args.smoke:
+        os.environ.setdefault("DEVICE_PLATFORM", "cpu")
+    from rag_inference_pipeline_tpu.core.bootstrap import bootstrap
+
+    bootstrap()
+    import jax
+    import jax.numpy as jnp
+
+    from rag_inference_pipeline_tpu.models.layers import KVCache
+    from rag_inference_pipeline_tpu.models.qwen import (
+        QwenConfig,
+        init_qwen_params,
+        param_compute_dtype,
+        quantize_qwen_params,
+        qwen_decode_step,
+        qwen_extend,
+        qwen_prefill,
+    )
+
+    cfg = QwenConfig.tiny() if args.smoke else QwenConfig.qwen25_05b()
+    dtype = jnp.float32 if args.smoke else jnp.bfloat16
+    params = init_qwen_params(jax.random.key(0), cfg, dtype)
+    qparams = quantize_qwen_params(params)
+    n_steps = 8 if args.smoke else args.steps
+    cache_len = 64 if args.smoke else args.cache_len
+    t_prompt = 16 if args.smoke else args.prompt_len
+    dev = jax.devices()[0]
+    print(f"device={dev.platform} cfg_layers={cfg.layers} hidden={cfg.hidden}")
+
+    @jax.jit
+    def decode_loop(p, tok0, cache):
+        def step(carry, _):
+            tok, c = carry
+            logits, c = qwen_decode_step(p, cfg, tok, c)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (nxt, c), nxt
+
+        (_, cache), toks = jax.lax.scan(
+            step, (tok0, cache), None, length=n_steps
+        )
+        return toks
+
+    @jax.jit
+    def prefill_once(p, ids, mask, cache):
+        logits, cache = qwen_prefill(p, cfg, ids, mask, cache)
+        return jnp.argmax(logits, axis=-1)
+
+    @jax.jit
+    def verify_window(p, toks, cache):
+        logits, _ = qwen_extend(p, cfg, toks, cache)
+        return jnp.argmax(logits, axis=-1)
+
+    rng = np.random.default_rng(0)
+    out: dict = {"device": dev.platform, "steps": n_steps, "configs": {}}
+
+    for name, p in (("bf16", params), ("int8", qparams)):
+        cdt = (
+            jnp.bfloat16
+            if param_compute_dtype(p) == jnp.bfloat16
+            else jnp.float32
+        )
+        row: dict = {}
+        for b in args.batches:
+            # warm prefill fills cache.length so decode attends a real span
+            ids = jnp.asarray(
+                rng.integers(1, cfg.vocab_size - 1, (b, t_prompt)), jnp.int32
+            )
+            mask = jnp.ones_like(ids)
+            cache = KVCache.zeros(
+                cfg.layers, b, cache_len, cfg.kv_heads, cfg.head_dim, dtype=cdt
+            )
+            np.asarray(prefill_once(p, ids, mask, cache))  # compile
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                np.asarray(prefill_once(p, ids, mask, cache))
+            row[f"prefill_ms_b{b}"] = (
+                (time.perf_counter() - t0) / args.reps * 1e3
+            )
+
+            # decode: run prefill once to get a warm cache, then scan steps
+            _, warm_cache = qwen_prefill(p, cfg, ids, mask, cache)
+            tok0 = jnp.asarray(
+                rng.integers(1, cfg.vocab_size - 1, (b,)), jnp.int32
+            )
+            np.asarray(decode_loop(p, tok0, warm_cache))  # compile
+            t0 = time.perf_counter()
+            for r in range(args.reps):
+                np.asarray(
+                    decode_loop(p, tok0 + jnp.int32(r + 1), warm_cache)
+                )
+            ms_step = (
+                (time.perf_counter() - t0) / (args.reps * n_steps) * 1e3
+            )
+            row[f"decode_ms_per_step_b{b}"] = ms_step
+
+            if b == 1:
+                toks = jnp.asarray(
+                    rng.integers(1, cfg.vocab_size - 1, (b, args.gamma + 1)),
+                    jnp.int32,
+                )
+                np.asarray(verify_window(p, toks, warm_cache))
+                t0 = time.perf_counter()
+                for _ in range(args.reps):
+                    np.asarray(verify_window(p, toks, warm_cache))
+                row["verify_ms_g%d" % args.gamma] = (
+                    (time.perf_counter() - t0) / args.reps * 1e3
+                )
+        out["configs"][name] = row
+        print(name, json.dumps(row, indent=2))
+
+    b0 = out["configs"]["bf16"]
+    q0 = out["configs"]["int8"]
+    k = f"decode_ms_per_step_b{args.batches[0]}"
+    out["speedup_decode_b%d" % args.batches[0]] = b0[k] / q0[k]
+    print(
+        f"int8 decode speedup @B={args.batches[0]}: "
+        f"{b0[k]:.3f} -> {q0[k]:.3f} ms/step ({b0[k] / q0[k]:.2f}x)"
+    )
+
+    os.makedirs("artifacts/round3", exist_ok=True)
+    with open("artifacts/round3/quant_decode.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print("wrote artifacts/round3/quant_decode.json")
+
+
+if __name__ == "__main__":
+    main()
