@@ -46,6 +46,12 @@ def main() -> None:
         "acceptance p (the <100 ms north-star measurement without real "
         "weights; see bench_spec_accept.py)",
     )
+    p.add_argument(
+        "--llm-quant", action="store_true",
+        help="int8 matmul weights for the decoder (W8A8-dynamic, "
+        "models/qwen.py::quantize_qwen_params) — halves the per-step HBM "
+        "weight stream that walls B=1 decode",
+    )
     args = p.parse_args()
 
     import jax
@@ -81,9 +87,13 @@ def main() -> None:
         init_bert_params(jax.random.key(2), rr_cfg, jnp.bfloat16)
     )
     lm_cfg = QwenConfig.qwen25_05b()
-    lm_params = jax.device_put(
-        init_qwen_params(jax.random.key(3), lm_cfg, jnp.bfloat16)
-    )
+    lm_params = init_qwen_params(jax.random.key(3), lm_cfg, jnp.bfloat16)
+    if args.llm_quant:
+        from rag_inference_pipeline_tpu.models.qwen import quantize_qwen_params
+
+        lm_params = quantize_qwen_params(lm_params)
+        print("llm weights quantized: W8A8-dynamic int8", file=sys.stderr)
+    lm_params = jax.device_put(lm_params)
     jax.block_until_ready((db_i8, gscale))
 
     embed_fn = jax.jit(partial(bert_embed, cfg=emb_cfg))
@@ -189,7 +199,10 @@ def main() -> None:
                 "value": e2e,
                 "unit": "ms",
                 "vs_baseline": round(1470.41 / e2e, 2),  # BASELINE.md p50
-                "detail": {**results, "batch": b},
+                "detail": {
+                    **results, "batch": b,
+                    "llm_quant": "int8" if args.llm_quant else "bf16",
+                },
             }
         )
     )

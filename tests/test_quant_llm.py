@@ -76,6 +76,25 @@ class TestQuantization:
         )
         assert cos.min() > 0.999
 
+    def test_untied_lm_head_quantized_logits(self, rng):
+        """Non-tied path: lm_head becomes QuantizedLinear and _logits takes
+        the untied int8 branch (Qwen2.5 ties embeddings, so the tied branch
+        is what every other test exercises)."""
+        import dataclasses
+
+        cfg = dataclasses.replace(CFG, tie_embeddings=False)
+        params = init_qwen_params(jax.random.key(1), cfg)
+        qp = quantize_qwen_params(params)
+        assert isinstance(qp["lm_head"], QuantizedLinear)
+        ids = jnp.asarray(rng.integers(1, 400, (2, 6)), jnp.int32)
+        mask = jnp.ones_like(ids)
+        lf = np.asarray(qwen_forward(params, cfg, ids, mask)[:, -1])
+        lq = np.asarray(qwen_forward(qp, cfg, ids, mask)[:, -1])
+        cos = (lf * lq).sum(-1) / (
+            np.linalg.norm(lf, axis=-1) * np.linalg.norm(lq, axis=-1)
+        )
+        assert cos.min() > 0.999
+
     def test_greedy_tokens_mostly_agree_with_f32(self, rng):
         ids = jnp.asarray(rng.integers(1, 400, (2, 8)), jnp.int32)
         mask = jnp.ones_like(ids)
