@@ -140,6 +140,11 @@ class Settings(BaseModel):
     # models/qwen.py::quantize_qwen_params): halves the per-step HBM weight
     # stream — the measured B=1 decode wall. "none" keeps param_dtype.
     llm_weight_quant: str = "none"  # none | int8
+    # int8 weight quantization for the BERT-family encoders (embedder,
+    # reranker, sentiment, toxicity — models/bert.py::quantize_bert_params):
+    # encoder prefill is MXU-bound, and the v5e MXU runs s8xs8->s32 at 2x
+    # the bf16 rate. "none" keeps param_dtype.
+    encoder_weight_quant: str = "none"  # none | int8
     # verify rounds per engine segment when the decode engine and
     # speculation are BOTH enabled (engine/decode_engine.py::_segment_spec)
     speculative_rounds: int = 2
@@ -222,11 +227,11 @@ class Settings(BaseModel):
             raise ValueError("node_number must be 0, 1 or 2")
         return v
 
-    @field_validator("llm_weight_quant")
+    @field_validator("llm_weight_quant", "encoder_weight_quant")
     @classmethod
-    def _check_llm_quant(cls, v: str) -> str:
+    def _check_weight_quant(cls, v: str, info) -> str:
         if v not in ("none", "int8"):
-            raise ValueError("llm_weight_quant must be 'none' or 'int8'")
+            raise ValueError(f"{info.field_name} must be 'none' or 'int8'")
         return v
 
     @field_validator("index_metric")

@@ -22,6 +22,7 @@ from .layers import (
     encoder_attention,
     gelu,
     layer_norm,
+    quantize_linear,
 )
 
 
@@ -129,6 +130,44 @@ def init_bert_params(
             "b": jnp.zeros((cfg.num_labels,), dtype),
         }
     return params
+
+
+_QUANT_KEYS = ("q_w", "k_w", "v_w", "o_w", "ffn_in_w", "ffn_out_w")
+
+
+def quantize_bert_params(params: dict) -> dict:
+    """int8-quantize every encoder matmul weight (W8A8-dynamic).
+
+    Unlike B=1 decode (weight-stream-bound), the encoder at serving shapes
+    (B>=8, T=512) is MXU-compute-bound — int8 wins because the v5e MXU runs
+    s8 x s8 -> s32 at 2x the bf16 rate, the same arithmetic the index scan
+    kernels exploit. QKV/output/FFN projections, the pooler, and the
+    classifier head become QuantizedLinear; the embedding tables stay as-is
+    (lookup gathers, not matmuls — and the position/type adds need f32
+    adds anyway). LayerNorms and biases untouched. Settings knob:
+    encoder_weight_quant="int8" (core/config.py) — applies to all four
+    BERT-family components (embedder/reranker/sentiment/toxicity; the
+    reference serves these as fp32 torch models, components/embedding.py,
+    reranker.py, sentiment.py, toxicity.py)."""
+    out = {
+        "embeddings": params["embeddings"],
+        "layers": [],
+        "pooler": {
+            "w": quantize_linear(params["pooler"]["w"]),
+            "b": params["pooler"]["b"],
+        },
+    }
+    if "classifier" in params:
+        out["classifier"] = {
+            "w": quantize_linear(params["classifier"]["w"]),
+            "b": params["classifier"]["b"],
+        }
+    for lp in params["layers"]:
+        nl = dict(lp)
+        for k in _QUANT_KEYS:
+            nl[k] = quantize_linear(lp[k])
+        out["layers"].append(nl)
+    return out
 
 
 def bert_encode(

@@ -114,6 +114,12 @@ class _BertBase:
                 f"no weights for {self.model_name} under "
                 f"{self.settings.model_weights_dir}"
             )
+        if self.settings.encoder_weight_quant == "int8":
+            # W8A8-dynamic encoder: MXU runs s8xs8->s32 at 2x the bf16 rate
+            # and encoder prefill is compute-bound (PERF_NOTES "int8 encoder")
+            from ..models.bert import quantize_bert_params
+
+            self.params = quantize_bert_params(self.params)
         if self.mesh is not None:
             if self.mesh.tp > 1:
                 # Megatron-TP over the tp axis: XLA inserts the row-parallel

@@ -86,24 +86,36 @@ def qwen_param_sharding(mesh_ctx: MeshContext, params: dict) -> dict:
 
 
 def bert_param_sharding(mesh_ctx: MeshContext, params: dict) -> dict:
+    """Megatron-TP placements for the BERT encoder tree; quantized leaves
+    follow the same rule as qwen_param_sharding (scales ride a column
+    split, replicate across a row split)."""
+    from ..models.layers import QuantizedLinear
+
     m = mesh_ctx.mesh
     repl = _ns(m)
     col = _ns(m, None, TP_AXIS)
     row = _ns(m, TP_AXIS, None)
+    vec_tp = _ns(m, TP_AXIS)
+
+    def _wq(p, base):
+        if isinstance(p, QuantizedLinear):
+            return QuantizedLinear(q=base, s=vec_tp if base is col else repl)
+        return base
+
     out: dict[str, Any] = {
         "embeddings": {k: repl for k in params["embeddings"]},
         "layers": [],
-        "pooler": {"w": repl, "b": repl},
+        "pooler": {"w": _wq(params["pooler"]["w"], repl), "b": repl},
     }
     if "classifier" in params:
-        out["classifier"] = {"w": repl, "b": repl}
+        out["classifier"] = {"w": _wq(params["classifier"]["w"], repl), "b": repl}
     for lp in params["layers"]:
         ls = {}
         for k in lp:
             if k in ("q_w", "k_w", "v_w", "ffn_in_w"):
-                ls[k] = col
+                ls[k] = _wq(lp[k], col)
             elif k in ("o_w", "ffn_out_w"):
-                ls[k] = row
+                ls[k] = _wq(lp[k], row)
             elif k in ("q_b", "k_b", "v_b", "ffn_in_b"):
                 ls[k] = _ns(m, TP_AXIS)
             else:
