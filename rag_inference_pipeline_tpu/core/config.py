@@ -145,6 +145,11 @@ class Settings(BaseModel):
     # encoder prefill is MXU-bound, and the v5e MXU runs s8xs8->s32 at 2x
     # the bf16 rate. "none" keeps param_dtype.
     encoder_weight_quant: str = "none"  # none | int8
+    # native JSON codec on the /retrieve hot path (utils/fastjson.py — the
+    # orjson/msgspec role the reference pays for, rpc_client.py:122-126).
+    # Strict-shape fast path with stdlib+pydantic fallback; behavior-
+    # identical (differential-fuzzed, tests/test_fastjson.py).
+    fast_json: bool = True
     # verify rounds per engine segment when the decode engine and
     # speculation are BOTH enabled (engine/decode_engine.py::_segment_spec)
     speculative_rounds: int = 2

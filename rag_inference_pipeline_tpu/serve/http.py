@@ -199,9 +199,50 @@ async def handle_query(request: web.Request) -> web.Response:
     return web.json_response(QueryResponse(**result).model_dump())
 
 
+def _retrieve_response(results: list[dict], response_format: str,
+                       fast_json: bool) -> web.Response:
+    """Common /retrieve response encode: b64 packing, native id_only JSON
+    (utils/fastjson.py — the orjson role), or pydantic for document-bearing
+    payload modes."""
+    if response_format == "b64":
+        return web.json_response(_pack_results_b64(results))
+    if fast_json:
+        from ..utils import fastjson as _fastjson
+
+        enc = _fastjson.encode_results(results)
+        if enc is not None:
+            return web.Response(body=enc, content_type="application/json")
+    return web.json_response(
+        RetrieveResponse(results=results).model_dump(exclude_none=True)
+    )
+
+
 async def handle_retrieve(request: web.Request) -> web.Response:
-    req = RetrieveRequest.model_validate(await _read_json(request))
     s: Settings = request.app[SETTINGS_KEY]
+    body = request.get("_decompressed_body") or await request.read()
+    if s.fast_json:
+        # native strict-shape parse (utils/fastjson.py); None => the stdlib
+        # + pydantic path below, which produces every 400 and every shape
+        # the fast path declines — behavior-identical by construction
+        from ..utils import fastjson as _fastjson
+
+        fj = _fastjson.parse_retrieve(bytes(body), s.index_dim)
+        if fj is not None:
+            sched_fj: BatchScheduler = request.app[SCHEDULERS_KEY]["retrieval"]
+            items = [
+                {
+                    "query": "",
+                    "embedding": fj.embeddings[i],
+                    "k": int(fj.item_k[i]) if fj.item_k[i] >= 0 else fj.k,
+                    "rerank": fj.rerank,
+                }
+                for i in range(fj.embeddings.shape[0])
+            ]
+            results = list(await sched_fj.enqueue_many(items))
+            return _retrieve_response(
+                results, fj.response_format, s.fast_json
+            )
+    req = RetrieveRequest.model_validate(json.loads(body))
     # validate dims BEFORE enqueueing: a bad item inside a flushed batch
     # would fail other clients' co-batched requests
     batch_emb = None
@@ -255,11 +296,7 @@ async def handle_retrieve(request: web.Request) -> web.Response:
             for i, it in enumerate(req.items)
         ]
     results = await sched.enqueue_many(items)
-    if req.response_format == "b64":
-        return web.json_response(_pack_results_b64(list(results)))
-    return web.json_response(
-        RetrieveResponse(results=list(results)).model_dump(exclude_none=True)
-    )
+    return _retrieve_response(list(results), req.response_format, s.fast_json)
 
 
 def _pack_results_b64(results: list[dict]) -> dict:
