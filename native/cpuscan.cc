@@ -23,6 +23,18 @@
 #include <thread>
 #include <vector>
 
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
+#if defined(__linux__)
+#include <sys/mman.h>
+// synchronous hugepage collapse (Linux 6.1+); this glibc's sys/mman.h
+// predates it even though the kernel supports it
+#ifndef MADV_COLLAPSE
+#define MADV_COLLAPSE 25
+#endif
+#endif
+
 namespace {
 
 struct Cand {
@@ -127,39 +139,129 @@ inline float half_to_float(uint16_t h) {
   return f;
 }
 
+// f32 . f16-row dot. The portable half_to_float above costs ~5 scalar ops
+// per element (~7 us for a 768-d row — 20x the gather it decorates, the
+// measured B=1 host-refine wall). The lib builds -march=native, so use the
+// hardware converter where the host has one: AVX512F does 16 halfs/cycle
+// (_mm512_cvtph_ps), F16C does 8. Conversion semantics are identical to
+// the portable path (IEEE 754 half, subnormals included) — bit-exact.
+inline float dot_f32_f16row(const float* q, const uint16_t* row, int d) {
+  int j = 0;
+  float acc = 0.f;
+#if defined(__AVX512F__)
+  __m512 vacc = _mm512_setzero_ps();
+  for (; j + 16 <= d; j += 16) {
+    __m512 r = _mm512_cvtph_ps(
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(row + j)));
+    vacc = _mm512_fmadd_ps(_mm512_loadu_ps(q + j), r, vacc);
+  }
+  acc = _mm512_reduce_add_ps(vacc);
+#elif defined(__F16C__) && defined(__AVX__)
+  __m256 vacc = _mm256_setzero_ps();
+  for (; j + 8 <= d; j += 8) {
+    __m256 r = _mm256_cvtph_ps(
+        _mm_loadu_si128(reinterpret_cast<const __m128i*>(row + j)));
+#if defined(__FMA__)
+    vacc = _mm256_fmadd_ps(_mm256_loadu_ps(q + j), r, vacc);
+#else
+    vacc = _mm256_add_ps(vacc, _mm256_mul_ps(_mm256_loadu_ps(q + j), r));
+#endif
+  }
+  __m128 lo = _mm256_castps256_ps128(vacc);
+  __m128 hi = _mm256_extractf128_ps(vacc, 1);
+  __m128 s4 = _mm_add_ps(lo, hi);
+  s4 = _mm_hadd_ps(s4, s4);
+  s4 = _mm_hadd_ps(s4, s4);
+  acc = _mm_cvtss_f32(s4);
+#endif
+  for (; j < d; ++j) acc += q[j] * half_to_float(row[j]);
+  return acc;
+}
+
+// f32 . i8-row dot, same reasoning as above: the scalar int8->float convert
+// costs ~1.3 us for a 768-d row, 3x the gather it decorates. AVX512 widens
+// 16 int8 -> f32 per step (sign-extend + convert + fma).
+inline float dot_f32_i8row(const float* q, const int8_t* row, int d) {
+  int j = 0;
+  float acc = 0.f;
+#if defined(__AVX512F__)
+  __m512 vacc = _mm512_setzero_ps();
+  for (; j + 16 <= d; j += 16) {
+    __m512i w = _mm512_cvtepi8_epi32(
+        _mm_loadu_si128(reinterpret_cast<const __m128i*>(row + j)));
+    vacc = _mm512_fmadd_ps(_mm512_loadu_ps(q + j), _mm512_cvtepi32_ps(w),
+                           vacc);
+  }
+  acc = _mm512_reduce_add_ps(vacc);
+#endif
+#pragma GCC ivdep
+  for (; j < d; ++j) acc += q[j] * (float)row[j];
+  return acc;
+}
+
 // Shared shortlist re-score driver: scores[b*s] computed in parallel over
 // the flattened (query, slot) range, then per-query top-k. ScoreFn maps
 // (qi, row_id) -> float.
 template <typename ScoreFn, typename PrefetchFn>
 void rescore_topk(int b, int s, int k, int nthreads, const int32_t* ids,
-                  ScoreFn score, PrefetchFn prefetch, float* out_s,
-                  int32_t* out_i) {
+                  int64_t row_bytes, ScoreFn score, PrefetchFn prefetch,
+                  float* out_s, int32_t* out_i) {
   nthreads = clamp_threads(nthreads);
   std::vector<float> scores((size_t)b * s);
   int64_t total = (int64_t)b * s;
-  std::atomic<int64_t> next(0);
-  const int64_t grain = 256;
-  auto worker = [&]() {
-    for (;;) {
-      int64_t lo = next.fetch_add(grain);
-      if (lo >= total) return;
-      int64_t hi = std::min(lo + grain, total);
-      // software-prefetch a few tasks ahead: the gather is random rows
-      // from a multi-GB store, so the row-start miss (+TLB walk)
-      // dominates; overlap it with the current row's dot
-      const int64_t PF = 6;
-      for (int64_t t = lo; t < hi; ++t) {
-        if (t + PF < hi && ids[t + PF] >= 0) prefetch(ids[t + PF]);
-        int qi = (int)(t / s);
-        int32_t id = ids[t];
-        scores[t] = (id < 0) ? -3.0e38f : score(qi, id);
+
+  // Page-ordered gather: score rows in ascending store-page order so the
+  // b*s random accesses over a multi-GB store become one near-sequential
+  // page sweep — every row of a 2 MB region is visited while its TLB
+  // entry and DRAM rows are hot. Counting-sort by page is O(total +
+  // npages), microseconds next to the gather it reorders. Scores land at
+  // scores[t] either way, so ordering is invisible to the top-k below.
+  int32_t max_id = -1;
+  for (int64_t t = 0; t < total; ++t) {
+    int32_t id = ids[t];
+    if (id < 0)
+      scores[t] = -3.0e38f;
+    else if (id > max_id)
+      max_id = id;
+  }
+  if (max_id >= 0) {
+    const int64_t page_rows_shift = 21;  // 2 MB regions
+    int64_t npages =
+        (((int64_t)max_id + 1) * row_bytes >> page_rows_shift) + 2;
+    std::vector<int64_t> bucket(npages + 1, 0);
+    auto page_of = [&](int32_t id) {
+      return ((int64_t)id * row_bytes) >> page_rows_shift;
+    };
+    for (int64_t t = 0; t < total; ++t)
+      if (ids[t] >= 0) ++bucket[page_of(ids[t]) + 1];
+    for (int64_t p = 0; p < npages; ++p) bucket[p + 1] += bucket[p];
+    std::vector<int64_t> order(bucket[npages]);
+    for (int64_t t = 0; t < total; ++t)
+      if (ids[t] >= 0) order[bucket[page_of(ids[t])]++] = t;
+
+    int64_t n_ord = (int64_t)order.size();
+    std::atomic<int64_t> next(0);
+    const int64_t grain = 256;
+    auto worker = [&]() {
+      for (;;) {
+        int64_t lo = next.fetch_add(grain);
+        if (lo >= n_ord) return;
+        int64_t hi = std::min(lo + grain, n_ord);
+        // still software-prefetch ahead: the sweep jumps rows WITHIN a
+        // page, and the row-start miss remains the critical path
+        const int64_t PF = 6;
+        for (int64_t o = lo; o < hi; ++o) {
+          if (o + PF < hi) prefetch(ids[order[o + PF]]);
+          int64_t t = order[o];
+          scores[t] = score((int)(t / s), ids[t]);
+        }
       }
-    }
-  };
-  std::vector<std::thread> ts;
-  for (int t = 1; t < nthreads; ++t) ts.emplace_back(worker);
-  worker();
-  for (auto& th : ts) th.join();
+    };
+    std::vector<std::thread> ts;
+    for (int t = 1; t < nthreads; ++t) ts.emplace_back(worker);
+    worker();
+    for (auto& th : ts) th.join();
+  }
 
   std::vector<KHeap> heaps(b, KHeap(k));
   for (int qi = 0; qi < b; ++qi)
@@ -281,14 +383,10 @@ void cs_rescore_i8(const float* q, int b, const int8_t* codes, int64_t n,
                    int d, float scale, const int32_t* ids, int s, int k,
                    int nthreads, float* out_s, int32_t* out_i) {
   (void)n;
-  rescore_topk(b, s, k, nthreads, ids,
+  rescore_topk(b, s, k, nthreads, ids, (int64_t)d,
                [&](int qi, int32_t id) {
-                 const int8_t* row = codes + (int64_t)id * d;
-                 const float* qr = q + (int64_t)qi * d;
-                 float acc = 0.f;
-#pragma GCC ivdep
-                 for (int j = 0; j < d; ++j) acc += qr[j] * (float)row[j];
-                 return acc * scale;
+                 return scale * dot_f32_i8row(q + (int64_t)qi * d,
+                                              codes + (int64_t)id * d, d);
                },
                [&](int32_t id) {
                  const char* row = (const char*)(codes + (int64_t)id * d);
@@ -303,14 +401,10 @@ void cs_rescore_f16(const float* q, int b, const uint16_t* store, int64_t n,
                     int d, const int32_t* ids, int s, int k, int nthreads,
                     float* out_s, int32_t* out_i) {
   (void)n;
-  rescore_topk(b, s, k, nthreads, ids,
+  rescore_topk(b, s, k, nthreads, ids, (int64_t)2 * d,
                [&](int qi, int32_t id) {
-                 const uint16_t* row = store + (int64_t)id * d;
-                 const float* qr = q + (int64_t)qi * d;
-                 float acc = 0.f;
-                 for (int j = 0; j < d; ++j)
-                   acc += qr[j] * half_to_float(row[j]);
-                 return acc;
+                 return dot_f32_f16row(q + (int64_t)qi * d,
+                                       store + (int64_t)id * d, d);
                },
                [&](int32_t id) {
                  const char* row = (const char*)(store + (int64_t)id * d);
@@ -318,6 +412,30 @@ void cs_rescore_f16(const float* q, int b, const uint16_t* store, int64_t n,
                    __builtin_prefetch(row + off, 0, 1);
                },
                out_s, out_i);
+}
+
+// Ask the kernel to back [p, p+len) with 2 MB pages: MADV_HUGEPAGE flags
+// the range, MADV_COLLAPSE (Linux 6.1+) collapses already-populated 4 KB
+// pages synchronously. A 46 GB f16 refine store on 4 KB pages costs one
+// TLB walk per random row gather; on 2 MB pages the page-ordered sweep
+// above hits each TLB entry hundreds of times. Returns 0 on success,
+// -1 where unsupported (harmless — the store still works on 4 KB pages).
+int cs_madvise_hugepage(void* p, int64_t len) {
+#if defined(__linux__)
+  uintptr_t a = reinterpret_cast<uintptr_t>(p);
+  uintptr_t lo = a & ~(uintptr_t)4095;
+  uintptr_t hi = (a + (uintptr_t)len + 4095) & ~(uintptr_t)4095;
+  int rc = madvise(reinterpret_cast<void*>(lo), hi - lo, MADV_HUGEPAGE);
+#ifdef MADV_COLLAPSE
+  if (rc == 0)
+    madvise(reinterpret_cast<void*>(lo), hi - lo, MADV_COLLAPSE);
+#endif
+  return rc;
+#else
+  (void)p;
+  (void)len;
+  return -1;
+#endif
 }
 
 }  // extern "C"

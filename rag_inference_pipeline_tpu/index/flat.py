@@ -188,6 +188,9 @@ class FlatIndex(BaseIndex):
                     if prev_h is not None
                     else host_new
                 )
+                from ..utils.cpuscan import madvise_hugepage
+
+                madvise_hugepage(self._host_rescore)
             n = new.shape[0]
             # quantize BEFORE padding (pad rows would skew the percentile
             # scale on small corpora), then pad codes + rescore copy
@@ -453,6 +456,9 @@ class FlatIndex(BaseIndex):
                     idx._host_rescore = np.ascontiguousarray(
                         z["vectors_rescore"]
                     )
+                    from ..utils.cpuscan import madvise_hugepage
+
+                    madvise_hugepage(idx._host_rescore)
                 elif "vectors_rescore" in z:
                     # convert f16 -> bf16 on the HOST (ml_dtypes): asking
                     # the device to convert holds the f16 AND bf16 copies

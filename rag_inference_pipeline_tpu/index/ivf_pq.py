@@ -155,6 +155,9 @@ class IVFPQIndex(BaseIndex):
         if self.rescore_k > 0:
             if self.rescore_kind == "host_f16":
                 self._host_f16 = np.ascontiguousarray(v, np.float16)
+                from ..utils.cpuscan import madvise_hugepage
+
+                madvise_hugepage(self._host_f16)
             elif self.rescore_kind == "host_int8":
                 # host-RAM refine store: THE flat-int8 quantizer (outlier-
                 # clipped percentile scale, ops/topk.py) — a reimplemented
@@ -164,6 +167,9 @@ class IVFPQIndex(BaseIndex):
                 codes_dev, scale_dev = quantize_global_int8(jnp.asarray(v))
                 self._host_scale = float(np.asarray(scale_dev))
                 self._host_codes = np.ascontiguousarray(np.asarray(codes_dev))
+                from ..utils.cpuscan import madvise_hugepage
+
+                madvise_hugepage(self._host_codes)
             elif self.rescore_kind == "pq8":
                 # tier shares the listing's coarse centroids (built before
                 # _maybe_shard so they are still replicated here)
@@ -307,10 +313,16 @@ class IVFPQIndex(BaseIndex):
                 idx.rescore_pq_m = int(z["tier_codes"].shape[1])
             if "host_codes" in z:
                 idx._host_codes = np.ascontiguousarray(z["host_codes"])
+                from ..utils.cpuscan import madvise_hugepage
+
+                madvise_hugepage(idx._host_codes)
                 idx._host_scale = float(z["host_scale"])
                 idx.rescore_kind = "host_int8"
             if "host_f16" in z:
                 idx._host_f16 = np.ascontiguousarray(z["host_f16"])
+                from ..utils.cpuscan import madvise_hugepage
+
+                madvise_hugepage(idx._host_f16)
                 idx.rescore_kind = "host_f16"
             if "rotation" in z:
                 idx._rotation = jnp.asarray(z["rotation"], jnp.float32)

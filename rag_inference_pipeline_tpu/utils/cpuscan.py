@@ -75,12 +75,35 @@ def load_lib() -> ctypes.CDLL:
             _I32P, ctypes.c_int, ctypes.c_int, ctypes.c_int, _F32P, _I32P,
         ]
         lib.cs_hw_threads.restype = ctypes.c_int
+        lib.cs_madvise_hugepage.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.cs_madvise_hugepage.restype = ctypes.c_int
         _lib = lib
         return lib
 
 
 def hw_threads() -> int:
     return int(load_lib().cs_hw_threads())
+
+
+def madvise_hugepage(arr: np.ndarray) -> bool:
+    """Back a host refine store with 2 MB pages (MADV_HUGEPAGE +
+    synchronous MADV_COLLAPSE on Linux 6.1+). A multi-GB store on 4 KB
+    pages pays one TLB walk per random row gather; on 2 MB pages the
+    page-ordered rescore sweep (native rescore_topk) reuses each entry
+    hundreds of times. Best-effort: returns False where unsupported and
+    the store keeps working on 4 KB pages."""
+    try:
+        lib = load_lib()
+    except Exception:  # noqa: BLE001 — never fail an index load for this
+        return False
+    if arr.nbytes < (1 << 21):
+        return False
+    return (
+        lib.cs_madvise_hugepage(
+            arr.ctypes.data_as(ctypes.c_void_p), arr.nbytes
+        )
+        == 0
+    )
 
 
 def scan_f32(

@@ -84,14 +84,18 @@ async def drive(url, payloads, concurrency, timeout=600):
         sem = asyncio.Semaphore(concurrency)
 
         async def one(body):
+            # bodies arrive PRE-ENCODED: client-side json.dumps of an 8 MB
+            # batch-512 body costs ~100 ms of GIL inside this event loop and
+            # would mask the server-side cost being measured
             async with sem:
                 q0 = time.perf_counter()
                 async with sess.post(
-                    url + "/retrieve", json=body,
+                    url + "/retrieve", data=body,
+                    headers={"Content-Type": "application/json"},
                     timeout=aiohttp.ClientTimeout(total=timeout),
                 ) as r:
                     assert r.status == 200, (r.status, (await r.text())[:200])
-                    await r.json()
+                    await r.read()
                 lat.append(time.perf_counter() - q0)
 
         await asyncio.gather(*(one(b) for b in payloads))
@@ -193,10 +197,11 @@ def main() -> None:
                             e.tobytes()
                         ).decode(),
                     } for e in embs]
+                bodies = [json.dumps(p).encode() for p in payloads]
                 # warm the bucket program + connection
-                asyncio.run(drive(url, payloads[:2], 1))
+                asyncio.run(drive(url, bodies[:2], 1))
                 wall, p50 = asyncio.run(
-                    drive(url, payloads, args.concurrency)
+                    drive(url, bodies, args.concurrency)
                 )
                 qps = args.requests * b / wall
                 print(
