@@ -187,3 +187,36 @@ class TestQuantConfigWiring:
         )
         assert len(out) == 1 and isinstance(out[0], str)
         comp.unload()
+
+
+class TestQuantFusedPipeline:
+    def test_device_pipeline_builds_and_steps_quantized(self, rng, mesh8):
+        """The fused RAG step over QUANTIZED decoder params on a dp x tp
+        mesh — the production fused-serving combination (USE_FUSED_PIPELINE
+        + llm_weight_quant=int8)."""
+        from rag_inference_pipeline_tpu.engine.device_pipeline import (
+            DeviceRAGPipeline,
+        )
+        from rag_inference_pipeline_tpu.models.bert import (
+            BertConfig,
+            init_bert_params,
+        )
+
+        bert_cfg = BertConfig.tiny()
+        n_docs = 64 * mesh8.dp
+        db = rng.standard_normal((n_docs, bert_cfg.hidden)).astype(np.float32)
+        doc_tokens = rng.integers(1, 400, (n_docs, 8)).astype(np.int32)
+        pipe = DeviceRAGPipeline(
+            mesh=mesh8, bert_cfg=bert_cfg, qwen_cfg=CFG, k=4, ctx_docs=2,
+            doc_tok_len=8, max_new_tokens=4, index_dtype="int8",
+            rescore_k=16, shard_doc_tokens=True,
+        )
+        pipe.build(
+            init_bert_params(jax.random.key(1), bert_cfg),
+            QPARAMS,  # int8-quantized decoder
+            db, doc_tokens,
+        )
+        q_toks = rng.integers(1, 400, (4, 8)).astype(np.int32)
+        out = pipe.step(q_toks, np.ones_like(q_toks))
+        assert out.tokens.shape == (4, 4)
+        assert (np.asarray(out.doc_ids) >= 0).all()
