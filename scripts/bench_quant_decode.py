@@ -36,6 +36,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny cfg on CPU")
     ap.add_argument("--steps", type=int, default=64, help="scan trip count")
+    ap.add_argument(
+        "--step-sweep",
+        type=int,
+        nargs="+",
+        default=None,
+        help="also time decode at these scan lengths (B=1 only, same "
+        "process) and report a linear fit separating the fixed per-call "
+        "tunnel cost from the true per-step time",
+    )
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cache-len", type=int, default=384)
     ap.add_argument("--prompt-len", type=int, default=128)
@@ -72,18 +81,23 @@ def main() -> None:
     dev = jax.devices()[0]
     print(f"device={dev.platform} cfg_layers={cfg.layers} hidden={cfg.hidden}")
 
-    @jax.jit
-    def decode_loop(p, tok0, cache):
-        def step(carry, _):
-            tok, c = carry
-            logits, c = qwen_decode_step(p, cfg, tok, c)
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return (nxt, c), nxt
+    def make_decode_loop(length):
+        @jax.jit
+        def decode_loop(p, tok0, cache):
+            def step(carry, _):
+                tok, c = carry
+                logits, c = qwen_decode_step(p, cfg, tok, c)
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (nxt, c), nxt
 
-        (_, cache), toks = jax.lax.scan(
-            step, (tok0, cache), None, length=n_steps
-        )
-        return toks
+            (_, cache2), toks = jax.lax.scan(
+                step, (tok0, cache), None, length=length
+            )
+            return toks
+
+        return decode_loop
+
+    decode_loop = make_decode_loop(n_steps)
 
     @jax.jit
     def prefill_once(p, ids, mask, cache):
@@ -161,6 +175,60 @@ def main() -> None:
         f"int8 decode speedup @B={args.batches[0]}: "
         f"{b0[k]:.3f} -> {q0[k]:.3f} ms/step ({b0[k] / q0[k]:.2f}x)"
     )
+
+    if args.step_sweep:
+        # Same-process B=1 sweep over scan lengths with ONE fixed cache_len
+        # (attention span constant across lengths, so total time is linear
+        # in length: total = F + L*s). Least-squares fit separates the fixed
+        # per-call cost F (tunnel RTT + dispatch) from the true per-step s.
+        sweep_cache = t_prompt + max(args.step_sweep)
+        sweep_out: dict = {"cache_len": sweep_cache, "lengths": {}}
+        for name, p in (("bf16", params), ("int8", qparams)):
+            cdt = (
+                jnp.bfloat16
+                if param_compute_dtype(p) == jnp.bfloat16
+                else jnp.float32
+            )
+            ids = jnp.asarray(
+                rng.integers(1, cfg.vocab_size - 1, (1, t_prompt)), jnp.int32
+            )
+            mask = jnp.ones_like(ids)
+            cache = KVCache.zeros(
+                cfg.layers, 1, sweep_cache, cfg.kv_heads, cfg.head_dim,
+                dtype=cdt,
+            )
+            _, warm_cache = qwen_prefill(p, cfg, ids, mask, cache)
+            totals = []
+            for length in args.step_sweep:
+                loop = make_decode_loop(length)
+                tok0 = jnp.asarray(
+                    rng.integers(1, cfg.vocab_size - 1, (1,)), jnp.int32
+                )
+                np.asarray(loop(p, tok0, warm_cache))  # compile
+                t0 = time.perf_counter()
+                for r in range(args.reps):
+                    np.asarray(loop(p, tok0 + jnp.int32(r + 1), warm_cache))
+                tot_ms = (time.perf_counter() - t0) / args.reps * 1e3
+                totals.append(tot_ms)
+                sweep_out["lengths"].setdefault(str(length), {})[name] = {
+                    "total_ms": tot_ms,
+                    "ms_per_step_naive": tot_ms / length,
+                }
+                print(
+                    f"sweep {name} L={length}: {tot_ms:.1f} ms total, "
+                    f"{tot_ms / length:.3f} ms/step naive"
+                )
+            ls = np.asarray(args.step_sweep, np.float64)
+            ts = np.asarray(totals, np.float64)
+            slope, fixed = np.polyfit(ls, ts, 1)
+            sweep_out[name + "_fit"] = {
+                "ms_per_step": float(slope),
+                "fixed_ms_per_call": float(fixed),
+            }
+            print(
+                f"fit {name}: {slope:.3f} ms/step + {fixed:.1f} ms/call fixed"
+            )
+        out["step_sweep"] = sweep_out
 
     os.makedirs("artifacts/round3", exist_ok=True)
     with open("artifacts/round3/quant_decode.json", "w") as f:
