@@ -295,6 +295,16 @@ class LLMComponent:
             self.cfg = QwenConfig.tiny()
         elif name == "Qwen/Qwen2.5-0.5B-Instruct":
             self.cfg = QwenConfig.qwen25_05b()
+        elif name.lower() in (
+            "meta-llama/llama-3.2-1b-instruct",
+            "meta-llama/llama-3.2-1b",
+        ):
+            self.cfg = QwenConfig.llama32_1b()
+        elif name.lower() in (
+            "meta-llama/llama-3.1-8b-instruct",
+            "meta-llama/llama-3.1-8b",
+        ):
+            self.cfg = QwenConfig.llama31_8b()
         else:
             raise ValueError(f"unknown llm model {name!r}")
         self.model_name = name

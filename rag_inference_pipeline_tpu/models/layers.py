@@ -114,9 +114,31 @@ def gelu(x):
     return jax.nn.gelu(x, approximate=False)
 
 
-def rope_frequencies(head_dim: int, max_len: int, theta: float = 10000.0):
-    """Precompute RoPE cos/sin tables: [max_len, head_dim//2] each."""
+def rope_frequencies(
+    head_dim: int, max_len: int, theta: float = 10000.0, scaling=None
+):
+    """Precompute RoPE cos/sin tables: [max_len, head_dim//2] each.
+
+    `scaling`, when given, is the Llama-3.x frequency remap as a tuple
+    (factor, low_freq_factor, high_freq_factor, original_max_len) —
+    HF transformers `_compute_llama3_parameters` semantics
+    (modeling_rope_utils.py): wavelengths shorter than the high-freq
+    cutoff keep their frequency, longer than the low-freq cutoff divide
+    by `factor`, and the band between interpolates smoothly.
+    """
     inv = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    if scaling is not None:
+        factor, low_ff, high_ff, orig_max = scaling
+        wavelen = 2.0 * jnp.pi / inv
+        low_wl = orig_max / low_ff
+        high_wl = orig_max / high_ff
+        smooth = (orig_max / wavelen - low_ff) / (high_ff - low_ff)
+        smoothed = (1.0 - smooth) * (inv / factor) + smooth * inv
+        inv = jnp.where(
+            wavelen < high_wl,
+            inv,
+            jnp.where(wavelen > low_wl, inv / factor, smoothed),
+        )
     t = jnp.arange(max_len, dtype=jnp.float32)
     freqs = jnp.outer(t, inv)
     return jnp.cos(freqs), jnp.sin(freqs)

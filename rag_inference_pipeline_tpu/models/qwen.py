@@ -50,11 +50,56 @@ class QwenConfig:
     qkv_bias: bool = True
     tie_embeddings: bool = True
     max_len: int = 4096
+    # Llama-3.x rope remap: (factor, low_freq_factor, high_freq_factor,
+    # original_max_len) or None (see layers.rope_frequencies)
+    rope_scaling: Optional[tuple] = None
 
     @staticmethod
     def qwen25_05b() -> "QwenConfig":
         """Qwen/Qwen2.5-0.5B-Instruct."""
         return QwenConfig()
+
+    @staticmethod
+    def llama32_1b() -> "QwenConfig":
+        """meta-llama/Llama-3.2-1B-Instruct — same decoder family
+        (HF Qwen2 *is* the Llama block + qkv bias): GQA, SiLU MLP,
+        RMSNorm, tied embeddings; no qkv bias, llama3 rope scaling."""
+        return QwenConfig(
+            vocab_size=128256,
+            hidden=2048,
+            layers=16,
+            heads=32,
+            kv_heads=8,
+            head_dim=64,
+            intermediate=8192,
+            rope_theta=500000.0,
+            eps=1e-5,
+            qkv_bias=False,
+            tie_embeddings=True,
+            max_len=4096,
+            rope_scaling=(32.0, 1.0, 4.0, 8192),
+        )
+
+    @staticmethod
+    def llama31_8b() -> "QwenConfig":
+        """meta-llama/Llama-3.1-8B-Instruct. bf16 params ~= 16 GB — on a
+        single v5e serve it int8-quantized (llm_weight_quant=int8) or
+        TP>=2."""
+        return QwenConfig(
+            vocab_size=128256,
+            hidden=4096,
+            layers=32,
+            heads=32,
+            kv_heads=8,
+            head_dim=128,
+            intermediate=14336,
+            rope_theta=500000.0,
+            eps=1e-5,
+            qkv_bias=False,
+            tie_embeddings=False,
+            max_len=4096,
+            rope_scaling=(8.0, 1.0, 4.0, 8192),
+        )
 
     @staticmethod
     def tiny() -> "QwenConfig":
@@ -221,7 +266,7 @@ def qwen_forward(
 ) -> jax.Array:
     """Plain causal forward (no cache) -> logits [B, T, V]. Training/eval."""
     b, t = input_ids.shape
-    cos, sin = rope_frequencies(cfg.head_dim, cfg.max_len, cfg.rope_theta)
+    cos, sin = rope_frequencies(cfg.head_dim, cfg.max_len, cfg.rope_theta, cfg.rope_scaling)
     positions = jnp.maximum(jnp.cumsum(attn_mask, axis=1) - 1, 0).astype(jnp.int32)
     x = _embed_rows(params, input_ids)
     rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
@@ -248,7 +293,7 @@ def qwen_prefill(
     """
     b, t = input_ids.shape
     s = cache.k.shape[2]
-    cos, sin = rope_frequencies(cfg.head_dim, cfg.max_len, cfg.rope_theta)
+    cos, sin = rope_frequencies(cfg.head_dim, cfg.max_len, cfg.rope_theta, cfg.rope_scaling)
     positions = jnp.maximum(jnp.cumsum(attn_mask, axis=1) - 1, 0).astype(jnp.int32)
     lengths = jnp.sum(attn_mask, axis=1).astype(jnp.int32)
     x = _embed_rows(params, input_ids)
@@ -287,7 +332,7 @@ def qwen_decode_step(
     """One decode step for every lane -> (logits [B, V], updated cache)."""
     b = tokens.shape[0]
     s = cache.k.shape[2]
-    cos, sin = rope_frequencies(cfg.head_dim, cfg.max_len, cfg.rope_theta)
+    cos, sin = rope_frequencies(cfg.head_dim, cfg.max_len, cfg.rope_theta, cfg.rope_scaling)
     positions = cache.length[:, None]  # [B, 1]
     x = _embed_rows(params, tokens)[:, None, :]
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
@@ -363,7 +408,7 @@ def qwen_extend(
     """
     b, t = tokens.shape
     s = cache.k.shape[2]
-    cos, sin = rope_frequencies(cfg.head_dim, cfg.max_len, cfg.rope_theta)
+    cos, sin = rope_frequencies(cfg.head_dim, cfg.max_len, cfg.rope_theta, cfg.rope_scaling)
     positions = cache.length[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
     x = _embed_rows(params, tokens)  # [B, T, H]
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, t, s), 2)

@@ -42,7 +42,7 @@ def main() -> None:
     p.add_argument("model_name", help="canonical name, e.g. BAAI/bge-base-en-v1.5")
     p.add_argument("--weights-dir", default="artifacts/weights")
     p.add_argument(
-        "--arch", choices=["bert", "qwen"], required=True,
+        "--arch", choices=["bert", "qwen", "llama"], required=True,
         help="which mapper validates the converted weights",
     )
     args = p.parse_args()
@@ -78,18 +78,25 @@ def main() -> None:
     from rag_inference_pipeline_tpu.models.weights import load_safetensors_dict
 
     raw = load_safetensors_dict(dst)
-    if args.arch == "qwen":
+    if args.arch in ("qwen", "llama"):
         from rag_inference_pipeline_tpu.models.qwen import (
             QwenConfig,
             qwen_forward,
         )
         from rag_inference_pipeline_tpu.models.weights import qwen_params_from_hf
 
-        cfg = QwenConfig.qwen25_05b()
+        # llama checkpoints load through the same mapper (same decoder
+        # family; no qkv bias, llama3 rope scaling live in the config)
+        cfg = {
+            "meta-llama/Llama-3.2-1B-Instruct": QwenConfig.llama32_1b,
+            "meta-llama/Llama-3.2-1B": QwenConfig.llama32_1b,
+            "meta-llama/Llama-3.1-8B-Instruct": QwenConfig.llama31_8b,
+            "meta-llama/Llama-3.1-8B": QwenConfig.llama31_8b,
+        }.get(args.model_name, QwenConfig.qwen25_05b)()
         params = qwen_params_from_hf(raw, cfg, dtype=jnp.bfloat16)
         ids = jnp.asarray(np.arange(1, 9)[None], jnp.int32)
         logits = qwen_forward(params, cfg, ids, jnp.ones_like(ids))
-        print(f"validated qwen forward: logits {logits.shape}")
+        print(f"validated {args.arch} forward: logits {logits.shape}")
     else:
         from rag_inference_pipeline_tpu.models.bert import BertConfig, bert_embed
         from rag_inference_pipeline_tpu.models.weights import bert_params_from_hf
