@@ -153,6 +153,57 @@ def init_qwen_params(key: jax.Array, cfg: QwenConfig, dtype=jnp.float32) -> dict
     return params
 
 
+def init_qwen_params_int8(
+    key: jax.Array, cfg: QwenConfig, dtype=jnp.bfloat16
+) -> dict:
+    """Random-init straight into the W8A8 layout, one leaf at a time.
+
+    Bitwise-identical to ``quantize_qwen_params(init_qwen_params(key,
+    cfg, dtype))`` (same key tree, same per-leaf values) but the full
+    bf16 tree never exists on device — each leaf is created, quantized,
+    and freed before the next. Required to stand up llama31_8b on a
+    single 16 GB chip: bf16 weights alone are ~16 GB, the int8 tree is
+    ~8 GB, and the per-leaf transient peaks at the lm head (~3.7 GB)."""
+    ks = jax.random.split(key, 3 + cfg.layers)
+    std = 0.02
+
+    def w(ki, *shape):
+        return (std * jax.random.normal(ki, shape)).astype(dtype)
+
+    def wq(ki, *shape):
+        return quantize_linear(w(ki, *shape))
+
+    h = cfg.hidden
+    qd = cfg.heads * cfg.head_dim
+    kvd = cfg.kv_heads * cfg.head_dim
+    params: dict = {
+        "embed": quantize_embed(w(ks[0], cfg.vocab_size, h)),
+        "final_ln": jnp.ones((h,), dtype),
+        "layers": [],
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = wq(ks[1], h, cfg.vocab_size)
+    for li in range(cfg.layers):
+        kk = jax.random.split(ks[3 + li], 8)
+        lp = {
+            "in_ln": jnp.ones((h,), dtype),
+            "q_w": wq(kk[0], h, qd),
+            "k_w": wq(kk[1], h, kvd),
+            "v_w": wq(kk[2], h, kvd),
+            "o_w": wq(kk[3], qd, h),
+            "post_ln": jnp.ones((h,), dtype),
+            "gate_w": wq(kk[4], h, cfg.intermediate),
+            "up_w": wq(kk[5], h, cfg.intermediate),
+            "down_w": wq(kk[6], cfg.intermediate, h),
+        }
+        if cfg.qkv_bias:
+            lp["q_b"] = jnp.zeros((qd,), dtype)
+            lp["k_b"] = jnp.zeros((kvd,), dtype)
+            lp["v_b"] = jnp.zeros((kvd,), dtype)
+        params["layers"].append(lp)
+    return params
+
+
 def quantize_qwen_params(params: dict) -> dict:
     """int8-quantize every matmul weight (W8A8-dynamic decode path).
 

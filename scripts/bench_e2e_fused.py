@@ -44,6 +44,13 @@ def main() -> None:
     ap.add_argument("--stack", type=int, default=2)
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument(
+        "--llm-model",
+        choices=["qwen25_05b", "llama32_1b"],
+        default="qwen25_05b",
+        help="decoder preset for the fused step (llama31_8b needs "
+        "--llm-quant and is init'd leaf-incrementally)",
+    )
+    ap.add_argument(
         "--llm-quant", action="store_true",
         help="int8 matmul weights for the decoder (W8A8-dynamic, "
         "models/qwen.py::quantize_qwen_params) — halves the per-step HBM "
@@ -78,7 +85,7 @@ def main() -> None:
         bert_cfg, qwen_cfg = BertConfig.tiny(), QwenConfig.tiny()
     else:
         bert_cfg = BertConfig.bge_base()
-        qwen_cfg = QwenConfig.qwen25_05b()
+        qwen_cfg = getattr(QwenConfig, args.llm_model)()
     n, d = args.n, bert_cfg.hidden
     ctx = make_mesh(dp=1, tp=1)
     interpret = jax.default_backend() == "cpu"

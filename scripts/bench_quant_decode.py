@@ -50,6 +50,24 @@ def main() -> None:
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--gamma", type=int, default=8)
     ap.add_argument("--batches", type=int, nargs="+", default=[1, 8])
+    ap.add_argument(
+        "--model",
+        choices=["qwen25_05b", "llama32_1b", "llama31_8b"],
+        default="qwen25_05b",
+        help="config preset (llama shares the decoder; bytes scale)",
+    )
+    ap.add_argument(
+        "--int8-only",
+        action="store_true",
+        help="skip the bf16 config and init straight into int8 leaf-by-"
+        "leaf (init_qwen_params_int8) — the only way llama31_8b fits a "
+        "16 GB chip (bf16 weights alone are ~16 GB)",
+    )
+    ap.add_argument(
+        "--out",
+        default="artifacts/round3/quant_decode.json",
+        help="output JSON path",
+    )
     args = ap.parse_args()
 
     if args.smoke:
@@ -64,6 +82,7 @@ def main() -> None:
     from rag_inference_pipeline_tpu.models.qwen import (
         QwenConfig,
         init_qwen_params,
+        init_qwen_params_int8,
         param_compute_dtype,
         quantize_qwen_params,
         qwen_decode_step,
@@ -71,10 +90,18 @@ def main() -> None:
         qwen_prefill,
     )
 
-    cfg = QwenConfig.tiny() if args.smoke else QwenConfig.qwen25_05b()
+    cfg = (
+        QwenConfig.tiny()
+        if args.smoke
+        else getattr(QwenConfig, args.model)()
+    )
     dtype = jnp.float32 if args.smoke else jnp.bfloat16
-    params = init_qwen_params(jax.random.key(0), cfg, dtype)
-    qparams = quantize_qwen_params(params)
+    if args.int8_only:
+        params = None
+        qparams = init_qwen_params_int8(jax.random.key(0), cfg, dtype)
+    else:
+        params = init_qwen_params(jax.random.key(0), cfg, dtype)
+        qparams = quantize_qwen_params(params)
     n_steps = 8 if args.smoke else args.steps
     cache_len = 64 if args.smoke else args.cache_len
     t_prompt = 16 if args.smoke else args.prompt_len
@@ -112,7 +139,12 @@ def main() -> None:
     rng = np.random.default_rng(0)
     out: dict = {"device": dev.platform, "steps": n_steps, "configs": {}}
 
-    for name, p in (("bf16", params), ("int8", qparams)):
+    config_list = (
+        [("int8", qparams)]
+        if args.int8_only
+        else [("bf16", params), ("int8", qparams)]
+    )
+    for name, p in config_list:
         cdt = (
             jnp.bfloat16
             if param_compute_dtype(p) == jnp.bfloat16
@@ -167,14 +199,15 @@ def main() -> None:
         out["configs"][name] = row
         print(name, json.dumps(row, indent=2))
 
-    b0 = out["configs"]["bf16"]
-    q0 = out["configs"]["int8"]
-    k = f"decode_ms_per_step_b{args.batches[0]}"
-    out["speedup_decode_b%d" % args.batches[0]] = b0[k] / q0[k]
-    print(
-        f"int8 decode speedup @B={args.batches[0]}: "
-        f"{b0[k]:.3f} -> {q0[k]:.3f} ms/step ({b0[k] / q0[k]:.2f}x)"
-    )
+    if not args.int8_only:
+        b0 = out["configs"]["bf16"]
+        q0 = out["configs"]["int8"]
+        k = f"decode_ms_per_step_b{args.batches[0]}"
+        out["speedup_decode_b%d" % args.batches[0]] = b0[k] / q0[k]
+        print(
+            f"int8 decode speedup @B={args.batches[0]}: "
+            f"{b0[k]:.3f} -> {q0[k]:.3f} ms/step ({b0[k] / q0[k]:.2f}x)"
+        )
 
     if args.step_sweep:
         # Same-process B=1 sweep over scan lengths with ONE fixed cache_len
@@ -183,7 +216,7 @@ def main() -> None:
         # per-call cost F (tunnel RTT + dispatch) from the true per-step s.
         sweep_cache = t_prompt + max(args.step_sweep)
         sweep_out: dict = {"cache_len": sweep_cache, "lengths": {}}
-        for name, p in (("bf16", params), ("int8", qparams)):
+        for name, p in config_list:
             cdt = (
                 jnp.bfloat16
                 if param_compute_dtype(p) == jnp.bfloat16
@@ -230,10 +263,11 @@ def main() -> None:
             )
         out["step_sweep"] = sweep_out
 
-    os.makedirs("artifacts/round3", exist_ok=True)
-    with open("artifacts/round3/quant_decode.json", "w") as f:
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    out["model"] = args.model
+    with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
-    print("wrote artifacts/round3/quant_decode.json")
+    print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":

@@ -232,3 +232,23 @@ class TestLlamaParity:
             sharded, cfg, ids, mask, max_new_tokens=6, cache_len=16
         ))
         np.testing.assert_array_equal(tp, solo)
+
+    def test_incremental_int8_init_bitwise_identical(self):
+        """init_qwen_params_int8 == quantize(init) leaf-for-leaf, on both
+        the biased/tied (qwen tiny) and unbiased/llama tiny configs —
+        the 8B single-chip capacity path depends on this equivalence."""
+        from rag_inference_pipeline_tpu.models.qwen import (
+            init_qwen_params_int8,
+        )
+
+        for cfg in (QwenConfig.tiny(), _tiny_llama_cfgs(False, True)[1]):
+            key = jax.random.key(21)
+            ref = quantize_qwen_params(
+                init_qwen_params(key, cfg, jnp.bfloat16)
+            )
+            inc = init_qwen_params_int8(key, cfg, jnp.bfloat16)
+            ref_leaves = jax.tree_util.tree_leaves(ref)
+            inc_leaves = jax.tree_util.tree_leaves(inc)
+            assert len(ref_leaves) == len(inc_leaves)
+            for a, b in zip(ref_leaves, inc_leaves):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
