@@ -45,7 +45,7 @@ def main() -> None:
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument(
         "--llm-model",
-        choices=["qwen25_05b", "llama32_1b"],
+        choices=["qwen25_05b", "llama32_1b", "llama31_8b"],
         default="qwen25_05b",
         help="decoder preset for the fused step (llama31_8b needs "
         "--llm-quant and is init'd leaf-incrementally)",
@@ -94,16 +94,29 @@ def main() -> None:
 
     key = jax.random.key(7)
     bert_params = init_bert_params(jax.random.fold_in(key, 1), bert_cfg)
-    qwen_params = init_qwen_params(
-        jax.random.fold_in(key, 2), qwen_cfg, dtype=jnp.bfloat16
-    )
-    if args.llm_quant:
+    if args.llm_model == "llama31_8b":
+        # 16 GB bf16 never fits one chip: leaf-incremental int8 init
+        if not args.llm_quant:
+            raise SystemExit("llama31_8b requires --llm-quant (capacity)")
         from rag_inference_pipeline_tpu.models.qwen import (
-            quantize_qwen_params,
+            init_qwen_params_int8,
         )
 
-        qwen_params = quantize_qwen_params(qwen_params)
-        print("llm weights quantized: W8A8-dynamic int8", flush=True)
+        qwen_params = init_qwen_params_int8(
+            jax.random.fold_in(key, 2), qwen_cfg, dtype=jnp.bfloat16
+        )
+        print("llm weights: leaf-incremental W8A8 int8 init", flush=True)
+    else:
+        qwen_params = init_qwen_params(
+            jax.random.fold_in(key, 2), qwen_cfg, dtype=jnp.bfloat16
+        )
+        if args.llm_quant:
+            from rag_inference_pipeline_tpu.models.qwen import (
+                quantize_qwen_params,
+            )
+
+            qwen_params = quantize_qwen_params(qwen_params)
+            print("llm weights quantized: W8A8-dynamic int8", flush=True)
 
     # device-generated corpus: normalized rows in 64k chunks (keyed)
     gch = 65536
