@@ -354,11 +354,14 @@ class LLMComponent:
                 )
             else:
                 self.params = jax.device_put(self.params, self.mesh.replicated)
+        # chat-format family: llama-3 header template vs qwen im_start
+        fam_llama = self.model_name.lower().startswith("meta-llama")
         self.tokenizer = make_tokenizer(
             self.model_name, self.settings.model_weights_dir,
             vocab_size=self.cfg.vocab_size, pad_id=0, eos_id=2,
-            eos_token="<|im_end|>",  # resolved from the real vocab when a
-            # tokenizer.json is present (Qwen chat eos = 151645)
+            # resolved from the real vocab when a tokenizer.json is
+            # present (Qwen chat eos = 151645; Llama-3 eot = 128009)
+            eos_token="<|eot_id|>" if fam_llama else "<|im_end|>",
         )
         if self.settings.warmup_buckets:
             # pre-compile every (batch bucket, prefill bucket) generate
@@ -382,16 +385,28 @@ class LLMComponent:
         self._gen.clear()
 
     def build_prompt(self, query: str, docs: Sequence[dict]) -> str:
-        """Chat-template prompt (reference llm.py:264-290)."""
+        """Chat-template prompt (reference llm.py:264-290), per family."""
         s = self.settings
         ctx = "\n\n".join(
             f"Document {i + 1}: {d.get('content', '')[: s.llm_doc_chars]}"
             for i, d in enumerate(docs[: s.llm_context_docs])
         )
+        sys_msg = (
+            "You are a helpful assistant. Use the provided "
+            "context to answer the question."
+        )
+        user_msg = f"Context:\n{ctx}\n\nQuestion: {query}"
+        if self.model_name.lower().startswith("meta-llama"):
+            return (
+                "<|begin_of_text|><|start_header_id|>system"
+                f"<|end_header_id|>\n\n{sys_msg}<|eot_id|>"
+                "<|start_header_id|>user"
+                f"<|end_header_id|>\n\n{user_msg}<|eot_id|>"
+                "<|start_header_id|>assistant<|end_header_id|>\n\n"
+            )
         return (
-            "<|im_start|>system\nYou are a helpful assistant. Use the provided "
-            "context to answer the question.<|im_end|>\n"
-            f"<|im_start|>user\nContext:\n{ctx}\n\nQuestion: {query}<|im_end|>\n"
+            f"<|im_start|>system\n{sys_msg}<|im_end|>\n"
+            f"<|im_start|>user\n{user_msg}<|im_end|>\n"
             "<|im_start|>assistant\n"
         )
 

@@ -252,3 +252,21 @@ class TestLlamaParity:
             assert len(ref_leaves) == len(inc_leaves)
             for a, b in zip(ref_leaves, inc_leaves):
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_llama_chat_template(self):
+        """Llama deployments get the Llama-3 header chat format, not the
+        Qwen im_start one (reference prompt semantics: llm.py:264-290)."""
+        from rag_inference_pipeline_tpu.core.config import Settings
+        from rag_inference_pipeline_tpu.models.components import LLMComponent
+
+        docs = [{"content": "alpha " * 50}, {"content": "beta"}]
+        s_l = Settings(
+            llm_model="meta-llama/Llama-3.2-1B-Instruct", index_dim=64,
+            index_pq_m=8,
+        )
+        p_l = LLMComponent(s_l).build_prompt("why?", docs)
+        assert "<|start_header_id|>" in p_l and "<|im_start|>" not in p_l
+        assert p_l.endswith("<|end_header_id|>\n\n")
+        s_q = Settings(llm_model="tiny-llm", index_dim=64, index_pq_m=8)
+        p_q = LLMComponent(s_q).build_prompt("why?", docs)
+        assert "<|im_start|>" in p_q and "<|start_header_id|>" not in p_q
