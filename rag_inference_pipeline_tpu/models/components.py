@@ -322,23 +322,37 @@ class LLMComponent:
         dtype = jnp.dtype(self.settings.param_dtype)
         if mdir:
             raw = load_safetensors_dict(mdir)
-            self.params = qwen_params_from_hf(raw, self.cfg, dtype)
+            # quantize-on-load: each matmul leaf becomes int8 as it maps,
+            # so an 8B checkpoint (16 GB bf16) fits a 16 GB chip
+            self.params = qwen_params_from_hf(
+                raw, self.cfg, dtype,
+                quantize=self.settings.llm_weight_quant == "int8",
+            )
         elif self.settings.allow_random_weights:
             logger.warning(
                 "LLM: no local weights for %s — random init (offline mode)",
                 self.model_name,
             )
-            self.params = init_qwen_params(jax.random.key(0), self.cfg, dtype)
+            if self.settings.llm_weight_quant == "int8":
+                # leaf-incremental init: the bf16 tree never materializes,
+                # which is what lets llama31_8b (16 GB bf16) stand up on a
+                # single 16 GB chip; bitwise == quantize(init) (tested)
+                from ..models.qwen import init_qwen_params_int8
+
+                self.params = init_qwen_params_int8(
+                    jax.random.key(0), self.cfg, dtype
+                )
+            else:
+                self.params = init_qwen_params(
+                    jax.random.key(0), self.cfg, dtype
+                )
             self.random_weights = True
         else:
             raise FileNotFoundError(f"no weights for {self.model_name}")
-        if self.settings.llm_weight_quant == "int8":
-            # W8A8-dynamic decode: int8 matmul weights halve the per-step HBM
-            # weight stream (the measured B=1 decode wall). Quantize BEFORE
-            # sharding so quantized leaves get their TP placements.
-            from ..models.qwen import quantize_qwen_params
-
-            self.params = quantize_qwen_params(self.params)
+        # W8A8-dynamic int8 (llm_weight_quant) happens AT THE SOURCE above —
+        # quantize-on-load for real weights, leaf-incremental init for
+        # random — so the bf16 tree never materializes and sharding below
+        # sees quantized leaves (they carry their own TP placements).
         if self.mesh is not None:
             if self.mesh.tp > 1:
                 # TP decode in the SERVING path (round-2 VERDICT #1a): shard

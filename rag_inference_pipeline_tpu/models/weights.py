@@ -151,28 +151,46 @@ def bert_params_from_hf(
 
 
 def qwen_params_from_hf(
-    raw: dict[str, np.ndarray], cfg, dtype=jnp.bfloat16
+    raw: dict[str, np.ndarray], cfg, dtype=jnp.bfloat16, quantize=False
 ) -> dict:
+    """HF state_dict -> decoder param tree (Qwen2.5 and Llama-3.x share
+    the layout: same module names; llama simply has no qkv biases).
+
+    quantize=True quantizes each matmul leaf to W8A8 int8 AS IT LOADS —
+    the full bf16 tree never exists on device, which is what lets an 8B
+    checkpoint (16 GB bf16) load onto a single 16 GB chip. Equivalent to
+    quantize_qwen_params(qwen_params_from_hf(...)) leaf-for-leaf."""
+    from .layers import quantize_embed, quantize_linear
+
     t = _T(raw, dtype)
+
+    def w(name):
+        x = t.get(name, transpose=True)
+        return quantize_linear(x) if quantize else x
+
     params = {
-        "embed": t.get("embed_tokens.weight"),
+        "embed": (
+            quantize_embed(t.get("embed_tokens.weight"))
+            if quantize
+            else t.get("embed_tokens.weight")
+        ),
         "final_ln": t.get("norm.weight"),
         "layers": [],
     }
     if not cfg.tie_embeddings:
-        params["lm_head"] = t.get("lm_head.weight", transpose=True)
+        params["lm_head"] = w("lm_head.weight")
     for i in range(cfg.layers):
         pre = f"layers.{i}."
         lp = {
             "in_ln": t.get(pre + "input_layernorm.weight"),
-            "q_w": t.get(pre + "self_attn.q_proj.weight", transpose=True),
-            "k_w": t.get(pre + "self_attn.k_proj.weight", transpose=True),
-            "v_w": t.get(pre + "self_attn.v_proj.weight", transpose=True),
-            "o_w": t.get(pre + "self_attn.o_proj.weight", transpose=True),
+            "q_w": w(pre + "self_attn.q_proj.weight"),
+            "k_w": w(pre + "self_attn.k_proj.weight"),
+            "v_w": w(pre + "self_attn.v_proj.weight"),
+            "o_w": w(pre + "self_attn.o_proj.weight"),
             "post_ln": t.get(pre + "post_attention_layernorm.weight"),
-            "gate_w": t.get(pre + "mlp.gate_proj.weight", transpose=True),
-            "up_w": t.get(pre + "mlp.up_proj.weight", transpose=True),
-            "down_w": t.get(pre + "mlp.down_proj.weight", transpose=True),
+            "gate_w": w(pre + "mlp.gate_proj.weight"),
+            "up_w": w(pre + "mlp.up_proj.weight"),
+            "down_w": w(pre + "mlp.down_proj.weight"),
         }
         if cfg.qkv_bias:
             lp["q_b"] = t.get(pre + "self_attn.q_proj.bias")

@@ -270,3 +270,23 @@ class TestLlamaParity:
         s_q = Settings(llm_model="tiny-llm", index_dim=64, index_pq_m=8)
         p_q = LLMComponent(s_q).build_prompt("why?", docs)
         assert "<|im_start|>" in p_q and "<|start_header_id|>" not in p_q
+
+    def test_hf_quantize_on_load_equivalent(self):
+        """qwen_params_from_hf(quantize=True) == quantize_qwen_params(
+        qwen_params_from_hf(...)) leaf-for-leaf (the capacity-safe real-
+        weights load path for 8B)."""
+        cfg_hf, cfg = _tiny_llama_cfgs(False, True)
+        torch.manual_seed(4)
+        hf = transformers.LlamaForCausalLM(cfg_hf).eval()
+        raw = torch_state_to_np(hf)
+        ref = quantize_qwen_params(
+            qwen_params_from_hf(raw, cfg, dtype=jnp.bfloat16)
+        )
+        inc = qwen_params_from_hf(
+            raw, cfg, dtype=jnp.bfloat16, quantize=True
+        )
+        ra = jax.tree_util.tree_leaves(ref)
+        rb = jax.tree_util.tree_leaves(inc)
+        assert len(ra) == len(rb)
+        for a, b in zip(ra, rb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
