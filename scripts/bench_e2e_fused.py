@@ -189,6 +189,7 @@ def main() -> None:
         "n": n, "d": d, "batch": b, "tokens": args.tokens,
         "gamma": args.gamma, "backend": jax.default_backend(),
         "llm_quant": "int8" if args.llm_quant else "bf16",
+        "llm_model": args.llm_model,
         "protocol": "in-program lax.scan (no host RTT; "
                     "PERF_NOTES 'Measurement reliability')",
     }, "rows": []}
