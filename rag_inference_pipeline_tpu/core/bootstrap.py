@@ -42,6 +42,14 @@ def bootstrap(cache_dir: str | None = None) -> None:
                         + f" --xla_force_host_platform_device_count={n}"
                     ).strip()
 
+        # Segregate the cache by backend: CPU test runs and TPU bench runs
+        # previously shared one directory, and concurrent novel compiles
+        # from two processes can race a cache entry — a truncated entry
+        # SIGABRTs inside XLA executable deserialization on the next read
+        # (observed: full-suite abort in get_executable_and_time).
+        cache = os.path.join(
+            cache, platform or os.environ.get("JAX_PLATFORMS", "default")
+        )
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -96,20 +96,31 @@ def main():
     ap.add_argument("--lanes", type=int, default=16)
     ap.add_argument("--cache-len", type=int, default=768)
     ap.add_argument("--tiny", action="store_true", help="tiny cfg (CPU test)")
+    ap.add_argument(
+        "--model",
+        choices=["qwen25_05b", "llama32_1b", "llama31_8b"],
+        default="qwen25_05b",
+    )
     ap.add_argument("--quant", action="store_true",
                     help="int8 decoder weights (llm_weight_quant analog; "
                     "W8A8-dynamic, PERF_NOTES 'int8 decode')")
     args = ap.parse_args()
 
     print("backend:", jax.default_backend(), flush=True)
-    cfg = QwenConfig.tiny() if args.tiny else QwenConfig.qwen25_05b()
+    cfg = (
+        QwenConfig.tiny() if args.tiny else getattr(QwenConfig, args.model)()
+    )
     dtype = jnp.float32 if args.tiny else jnp.bfloat16
-    params = init_qwen_params(jax.random.key(0), cfg, dtype)
     if args.quant:
-        from rag_inference_pipeline_tpu.models.qwen import quantize_qwen_params
+        # leaf-incremental: also the only way llama31_8b fits one chip
+        from rag_inference_pipeline_tpu.models.qwen import (
+            init_qwen_params_int8,
+        )
 
-        params = quantize_qwen_params(params)
+        params = init_qwen_params_int8(jax.random.key(0), cfg, dtype)
         print("decoder weights: int8 (W8A8-dynamic)", flush=True)
+    else:
+        params = init_qwen_params(jax.random.key(0), cfg, dtype)
     rng = np.random.default_rng(0)
     eos = -1  # run to length cap: worst case for the engine, fair A/B
     reqs = make_workload(rng, args.requests, cfg.vocab_size)

@@ -16,9 +16,17 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The persistent XLA compile cache is for cross-process reuse (serving
+# boots, benches); the suite only needs in-process jit caching. Late in a
+# full run, XLA executable (de)serialization for the disk cache has been
+# observed to SIGSEGV/SIGABRT (state-dependent — the same tests pass in
+# isolation), so tests opt out before jax initializes.
+os.environ["JAX_ENABLE_COMPILATION_CACHE"] = "false"
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_compilation_cache", False)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -50,3 +58,20 @@ def _reset_settings_cache():
     reset_settings()
     yield
     reset_settings()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound accumulated in-process compiler state.
+
+    A cold full-suite run compiles ~400 tests' worth of XLA:CPU programs
+    in one process and has segfaulted inside backend_compile around the
+    ~390th test (same tests pass in isolation; threshold moved with test
+    count). Dropping executables/tracing caches at each module boundary
+    keeps the live-program population bounded; within-module reuse — the
+    part that matters for suite runtime — is preserved.
+    """
+    import jax
+
+    jax.clear_caches()
+    yield
