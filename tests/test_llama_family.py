@@ -290,3 +290,33 @@ class TestLlamaParity:
         assert len(ra) == len(rb)
         for a, b in zip(ra, rb):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_tp_sharded_quantized_llama_token_identical(self):
+        """The 8B production shape in miniature: leaf-incremental int8
+        init + Megatron TP on the llama config — token-identical to the
+        unsharded quantized decode."""
+        from rag_inference_pipeline_tpu.core import make_mesh
+        from rag_inference_pipeline_tpu.models.qwen import (
+            init_qwen_params_int8,
+        )
+        from rag_inference_pipeline_tpu.parallel.sharding import (
+            qwen_param_sharding,
+            shard_params,
+        )
+
+        cfg = _tiny_llama_cfgs(True, True)[1]
+        qparams = init_qwen_params_int8(jax.random.key(23), cfg, jnp.float32)
+        mesh = make_mesh(dp=4, tp=2)
+        sharded = shard_params(
+            mesh, qparams, qwen_param_sharding(mesh, qparams)
+        )
+        rng = np.random.default_rng(29)
+        ids = jnp.asarray(rng.integers(1, 512, (2, 8)), jnp.int32)
+        mask = jnp.ones_like(ids)
+        solo = np.asarray(greedy_generate(
+            qparams, cfg, ids, mask, max_new_tokens=6, cache_len=16
+        ))
+        tp = np.asarray(greedy_generate(
+            sharded, cfg, ids, mask, max_new_tokens=6, cache_len=16
+        ))
+        np.testing.assert_array_equal(tp, solo)
