@@ -268,12 +268,32 @@ def _block(
     q = apply_rope(q, cos, sin, positions)
     k = apply_rope(k, cos, sin, positions)
     if cache_k is not None:
-        k_full = jax.vmap(
-            lambda ck, kn, p: jax.lax.dynamic_update_slice(ck, kn, (p, 0, 0))
-        )(cache_k, k, positions[:, 0])
-        v_full = jax.vmap(
-            lambda cv, vn, p: jax.lax.dynamic_update_slice(cv, vn, (p, 0, 0))
-        )(cache_v, v, positions[:, 0])
+        if t == 1:
+            # decode-step insert: a masked full-cache rewrite streams at
+            # HBM rate, while the vmapped per-lane dynamic_update_slice
+            # lowers to a scatter that dominates the step at B>1 —
+            # measured 1.55-1.62x faster per step at B=8, neutral at B=1
+            # (PERF_NOTES "Decode anatomy", artifacts/round3/
+            # decode_anatomy.json). Semantics match DUS for in-bounds
+            # positions (every production cache is sized for its run).
+            s_len = cache_k.shape[1]
+            hit = (
+                jax.lax.broadcasted_iota(jnp.int32, (b, s_len), 1)
+                == positions[:, 0][:, None]
+            )[:, :, None, None]
+            k_full = jnp.where(hit, k, cache_k)
+            v_full = jnp.where(hit, v, cache_v)
+        else:
+            k_full = jax.vmap(
+                lambda ck, kn, p: jax.lax.dynamic_update_slice(
+                    ck, kn, (p, 0, 0)
+                )
+            )(cache_k, k, positions[:, 0])
+            v_full = jax.vmap(
+                lambda cv, vn, p: jax.lax.dynamic_update_slice(
+                    cv, vn, (p, 0, 0)
+                )
+            )(cache_v, v, positions[:, 0])
     else:
         k_full, v_full = k, v
     a = attention(q, k_full, v_full, mask).reshape(b, t, -1)

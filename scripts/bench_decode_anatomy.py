@@ -1,0 +1,246 @@
+#!/usr/bin/env python
+"""Where does the B=8 decode step's extra time go?
+
+Weight bytes are identical at B=1 and B=8, yet the measured step is
+2.5x (int8) / 3.2x (bf16) slower at B=8 (PERF_NOTES "int8 decode").
+Candidates that scale with B: KV-cache reads, the vmapped per-lane
+dynamic_update_slice (potentially lowered as a scatter that copies),
+the lm head + argmax over [B, V], and the W8A8 activation
+quantize/dequant epilogues.
+
+Isolate by ablation — in-program scans, same process, each variant a
+separate jit; per-step times at B in {1, 8}:
+
+  full        the real qwen_decode_step
+  nocache     attention over the warm cache only (skip the k/v insert)
+  nohead      skip the lm head (+argmax); carry a hidden-state token
+  noattn      skip attention entirely (matmul skeleton + head)
+
+Writes artifacts/round3/decode_anatomy.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--length", type=int, default=128)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--batches", type=int, nargs="+", default=[1, 8])
+    ap.add_argument("--cache-len", type=int, default=384)
+    args = ap.parse_args()
+
+    if args.smoke:
+        os.environ.setdefault("DEVICE_PLATFORM", "cpu")
+    from rag_inference_pipeline_tpu.core.bootstrap import bootstrap
+
+    bootstrap()
+    import jax
+    import jax.numpy as jnp
+
+    from rag_inference_pipeline_tpu.models.layers import (
+        KVCache,
+        apply_rope,
+        attention,
+        dense,
+        rms_norm,
+        rope_frequencies,
+    )
+    from rag_inference_pipeline_tpu.models.qwen import (
+        QwenConfig,
+        _embed_rows,
+        _logits,
+        init_qwen_params,
+        param_compute_dtype,
+        quantize_qwen_params,
+        qwen_decode_step,
+        qwen_prefill,
+    )
+
+    cfg = QwenConfig.tiny() if args.smoke else QwenConfig.qwen25_05b()
+    dtype = jnp.float32 if args.smoke else jnp.bfloat16
+    params = init_qwen_params(jax.random.key(0), cfg, dtype)
+    qparams = quantize_qwen_params(params)
+    length = 4 if args.smoke else args.length
+    cache_len = 32 if args.smoke else args.cache_len
+    t_prompt = 8 if args.smoke else 128
+    dev = jax.devices()[0]
+    print(f"device={dev.platform} L={length}")
+
+    def step_variant(p, tok, ck, cv, positions, variant):
+        """One decode position; mirrors qwen_decode_step's anatomy.
+        ck/cv: per-layer TUPLES of [B, S, Hkv, Dh] (unstacked carry —
+        comparing against the real stacked-cache step also measures the
+        jnp.stack re-pack cost)."""
+        cdt = param_compute_dtype(p)
+        b = tok.shape[0]
+        x = _embed_rows(p, tok[:, None]).astype(cdt)
+        cos, sin = rope_frequencies(
+            cfg.head_dim, cfg.max_len, cfg.rope_theta, cfg.rope_scaling
+        )
+        pos2 = positions[:, None]
+        s = ck[0].shape[1]
+        span = jnp.arange(s)[None, None, None, :] <= positions[
+            :, None, None, None
+        ]
+        new_k, new_v = [], []
+        for li, lp in enumerate(p["layers"]):
+            y = rms_norm(x, lp["in_ln"], cfg.eps)
+            q = dense(y, lp["q_w"], lp.get("q_b")).reshape(
+                b, 1, cfg.heads, cfg.head_dim
+            )
+            k = dense(y, lp["k_w"], lp.get("k_b")).reshape(
+                b, 1, cfg.kv_heads, cfg.head_dim
+            )
+            v = dense(y, lp["v_w"], lp.get("v_b")).reshape(
+                b, 1, cfg.kv_heads, cfg.head_dim
+            )
+            q = apply_rope(q, cos, sin, pos2)
+            k = apply_rope(k, cos, sin, pos2)
+            if variant == "nocache":
+                k_full, v_full = ck[li], cv[li]
+            elif variant == "onehot":
+                # masked full-cache rewrite: pure streaming, no scatter
+                hit = (
+                    jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
+                    == positions[:, None]
+                )[:, :, None, None]
+                k_full = jnp.where(hit, k[:, 0][:, None], ck[li])
+                v_full = jnp.where(hit, v[:, 0][:, None], cv[li])
+                new_k.append(k_full)
+                new_v.append(v_full)
+            elif variant == "atset":
+                # batched scatter via indexed update
+                lanes = jnp.arange(b)
+                k_full = ck[li].at[lanes, positions].set(k[:, 0])
+                v_full = cv[li].at[lanes, positions].set(v[:, 0])
+                new_k.append(k_full)
+                new_v.append(v_full)
+            else:
+                k_full = jax.vmap(
+                    lambda c_, kn, pp: jax.lax.dynamic_update_slice(
+                        c_, kn, (pp, 0, 0)
+                    )
+                )(ck[li], k, positions)
+                v_full = jax.vmap(
+                    lambda c_, vn, pp: jax.lax.dynamic_update_slice(
+                        c_, vn, (pp, 0, 0)
+                    )
+                )(cv[li], v, positions)
+                new_k.append(k_full)
+                new_v.append(v_full)
+            if variant == "noattn":
+                a = q.reshape(b, 1, -1)
+            else:
+                a = attention(q, k_full, v_full, span).reshape(b, 1, -1)
+            x = x + dense(a, lp["o_w"])
+            y2 = rms_norm(x, lp["post_ln"], cfg.eps)
+            ff = jax.nn.silu(dense(y2, lp["gate_w"])) * dense(
+                y2, lp["up_w"]
+            )
+            x = x + dense(ff, lp["down_w"])
+        if variant == "nohead":
+            nxt = (
+                jnp.sum(x[:, 0], axis=-1).astype(jnp.int32)
+                % (cfg.vocab_size - 2)
+                + 1
+            )
+        else:
+            logits = _logits(p, cfg, x[:, 0])
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if variant == "nocache":
+            return nxt, ck, cv
+        return nxt, tuple(new_k), tuple(new_v)
+
+    def make_loop(p, variant, b):
+        if variant == "real":
+
+            @jax.jit
+            def loop(p, tok0, cache, pos0):
+                def step(carry, _):
+                    tok, c = carry
+                    logits, c = qwen_decode_step(p, cfg, tok, c)
+                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    return (nxt, c), ()
+
+                (tok, _), _ = jax.lax.scan(
+                    step, (tok0, cache), None, length=length
+                )
+                return tok
+
+            return loop
+
+        @jax.jit
+        def loop(p, tok0, ck, cv, pos0):
+            def step(carry, _):
+                tok, k_, v_, pos = carry
+                nxt, k_, v_ = step_variant(p, tok, k_, v_, pos, variant)
+                return (nxt, k_, v_, pos + 1), ()
+
+            (tok, _, _, _), _ = jax.lax.scan(
+                step, (tok0, ck, cv, pos0), None, length=length
+            )
+            return tok
+
+        return loop
+
+    rng = np.random.default_rng(0)
+    out: dict = {"device": dev.platform, "length": length, "rows": {}}
+    for name, p in (("bf16", params), ("int8", qparams)):
+        cdt = (
+            jnp.bfloat16
+            if param_compute_dtype(p) == jnp.bfloat16
+            else jnp.float32
+        )
+        for b in args.batches:
+            ids = jnp.asarray(
+                rng.integers(1, cfg.vocab_size - 1, (b, t_prompt)),
+                jnp.int32,
+            )
+            mask = jnp.ones_like(ids)
+            cache = KVCache.zeros(
+                cfg.layers, b, cache_len, cfg.kv_heads, cfg.head_dim,
+                dtype=cdt,
+            )
+            _, warm = qwen_prefill(p, cfg, ids, mask, cache)
+            pos0 = jnp.full((b,), t_prompt, jnp.int32)
+            for variant in (
+                "real", "full", "nocache", "nohead", "noattn",
+                "onehot", "atset",
+            ):
+                loop = make_loop(p, variant, b)
+                tok0 = jnp.asarray(
+                    rng.integers(1, cfg.vocab_size - 1, (b,)), jnp.int32
+                )
+                if variant == "real":
+                    call = lambda t: loop(p, t, warm, pos0)  # noqa: E731
+                else:
+                    wk = tuple(warm.k[i] for i in range(cfg.layers))
+                    wv = tuple(warm.v[i] for i in range(cfg.layers))
+                    call = lambda t: loop(p, t, wk, wv, pos0)  # noqa: E731
+                np.asarray(call(tok0))  # compile
+                t0 = time.perf_counter()
+                for r in range(args.reps):
+                    np.asarray(call(tok0 + jnp.int32(r + 1)))
+                ms = (
+                    (time.perf_counter() - t0) / (args.reps * length) * 1e3
+                )
+                out["rows"][f"{name}_b{b}_{variant}"] = ms
+                print(f"{name} B={b} {variant}: {ms:.3f} ms/step")
+
+    os.makedirs("artifacts/round3", exist_ok=True)
+    with open("artifacts/round3/decode_anatomy.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print("wrote artifacts/round3/decode_anatomy.json")
+
+
+if __name__ == "__main__":
+    main()
