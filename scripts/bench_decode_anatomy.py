@@ -75,6 +75,40 @@ def main() -> None:
     dev = jax.devices()[0]
     print(f"device={dev.platform} L={length}")
 
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def _row_insert_kernel(pos_ref, new_ref, cache_ref, out_ref):
+        # out aliases cache; the scalar-prefetched positions drive the
+        # OUT index_map, so each program writes exactly one [1,1,H,D]
+        # block at (b, pos[b]) — no full-cache traffic at all
+        del pos_ref, cache_ref
+        out_ref[...] = new_ref[...]
+
+    def _pallas_row_insert(cache, new, positions):
+        """In-place KV row write: cache [B,S,H,D], new [B,H,D], pos [B]."""
+        bsz, s_len, h_, d_ = cache.shape
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bsz,),
+            in_specs=[
+                pl.BlockSpec((1, 1, h_, d_), lambda b, pos: (b, 0, 0, 0)),
+                pl.BlockSpec(
+                    (1, 1, h_, d_), lambda b, pos: (b, pos[b], 0, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, h_, d_), lambda b, pos: (b, pos[b], 0, 0)
+            ),
+        )
+        return pl.pallas_call(
+            _row_insert_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
+            input_output_aliases={2: 0},
+            interpret=jax.default_backend() == "cpu",
+        )(positions, new[:, None], cache)
+
     def step_variant(p, tok, ck, cv, positions, variant):
         """One decode position; mirrors qwen_decode_step's anatomy.
         ck/cv: per-layer TUPLES of [B, S, Hkv, Dh] (unstacked carry —
@@ -115,6 +149,11 @@ def main() -> None:
                 )[:, :, None, None]
                 k_full = jnp.where(hit, k[:, 0][:, None], ck[li])
                 v_full = jnp.where(hit, v[:, 0][:, None], cv[li])
+                new_k.append(k_full)
+                new_v.append(v_full)
+            elif variant == "pallas":
+                k_full = _pallas_row_insert(ck[li], k[:, 0], positions)
+                v_full = _pallas_row_insert(cv[li], v[:, 0], positions)
                 new_k.append(k_full)
                 new_v.append(v_full)
             elif variant == "atset":
@@ -212,14 +251,15 @@ def main() -> None:
             )
             _, warm = qwen_prefill(p, cfg, ids, mask, cache)
             pos0 = jnp.full((b,), t_prompt, jnp.int32)
+            ref_tok = None  # insert variants must be token-identical
+            tok0 = jnp.asarray(
+                rng.integers(1, cfg.vocab_size - 1, (b,)), jnp.int32
+            )
             for variant in (
                 "real", "full", "nocache", "nohead", "noattn",
-                "onehot", "atset",
+                "onehot", "atset", "pallas",
             ):
                 loop = make_loop(p, variant, b)
-                tok0 = jnp.asarray(
-                    rng.integers(1, cfg.vocab_size - 1, (b,)), jnp.int32
-                )
                 if variant == "real":
                     call = lambda t: loop(p, t, warm, pos0)  # noqa: E731
                 else:
@@ -234,6 +274,18 @@ def main() -> None:
                     (time.perf_counter() - t0) / (args.reps * length) * 1e3
                 )
                 out["rows"][f"{name}_b{b}_{variant}"] = ms
+                if variant == "full":
+                    ref_tok = np.asarray(call(tok0))
+                elif variant in ("onehot", "atset", "pallas"):
+                    # agreement rate, not exact: the inserts write
+                    # identical values but different fusions can flip
+                    # f32 argmax ties downstream (shipped-path identity
+                    # is pinned by the real test suite instead)
+                    agree = float(
+                        np.mean(np.asarray(call(tok0)) == ref_tok)
+                    )
+                    out["rows"][f"{name}_b{b}_{variant}_agree"] = agree
+                    assert agree >= 0.9, (variant, agree)
                 print(f"{name} B={b} {variant}: {ms:.3f} ms/step")
 
     os.makedirs("artifacts/round3", exist_ok=True)
