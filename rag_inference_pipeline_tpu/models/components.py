@@ -139,8 +139,14 @@ class _BertBase:
             vocab_size=self.cfg.vocab_size,
             pad_id=self.cfg.pad_token_id,
         )
+        from ..utils import hbm
+
+        hbm.reserve(type(self).__name__, hbm.tree_nbytes(self.params))
 
     def unload(self) -> None:
+        from ..utils import hbm
+
+        hbm.release(type(self).__name__)
         self.params = None
         self.tokenizer = None
 
@@ -291,16 +297,17 @@ class LLMComponent:
         self.settings = settings
         self.mesh = mesh
         name = settings.llm_model
-        if name.startswith("tiny"):
+        lname = name.lower()  # all presets match case-insensitively
+        if lname.startswith("tiny"):
             self.cfg = QwenConfig.tiny()
-        elif name == "Qwen/Qwen2.5-0.5B-Instruct":
+        elif lname == "qwen/qwen2.5-0.5b-instruct":
             self.cfg = QwenConfig.qwen25_05b()
-        elif name.lower() in (
+        elif lname in (
             "meta-llama/llama-3.2-1b-instruct",
             "meta-llama/llama-3.2-1b",
         ):
             self.cfg = QwenConfig.llama32_1b()
-        elif name.lower() in (
+        elif lname in (
             "meta-llama/llama-3.1-8b-instruct",
             "meta-llama/llama-3.1-8b",
         ):
@@ -308,6 +315,12 @@ class LLMComponent:
         else:
             raise ValueError(f"unknown llm model {name!r}")
         self.model_name = name
+        # base (non-Instruct) checkpoints are plain completion models: no
+        # chat-header template, and they terminate with <|end_of_text|> /
+        # <|endoftext|>, never the chat eot token
+        self.is_instruct = "instruct" in lname or lname.startswith("tiny")
+        # HBM-derived safe bucket ladder; recomputed at load() (utils/hbm)
+        self.ladder: tuple[int, ...] = settings.shape_buckets
         self.params = None
         self.tokenizer = None
         self.random_weights = False
@@ -368,22 +381,41 @@ class LLMComponent:
                 )
             else:
                 self.params = jax.device_put(self.params, self.mesh.replicated)
-        # chat-format family: llama-3 header template vs qwen im_start
+        # chat-format family: llama-3 header template vs qwen im_start;
+        # base (non-Instruct) checkpoints stop at end-of-text, not the
+        # chat turn delimiter (which a base model never emits)
         fam_llama = self.model_name.lower().startswith("meta-llama")
+        if self.is_instruct:
+            eos_token = "<|eot_id|>" if fam_llama else "<|im_end|>"
+        else:
+            eos_token = "<|end_of_text|>" if fam_llama else "<|endoftext|>"
         self.tokenizer = make_tokenizer(
             self.model_name, self.settings.model_weights_dir,
             vocab_size=self.cfg.vocab_size, pad_id=0, eos_id=2,
             # resolved from the real vocab when a tokenizer.json is
-            # present (Qwen chat eos = 151645; Llama-3 eot = 128009)
-            eos_token="<|eot_id|>" if fam_llama else "<|im_end|>",
+            # present (Qwen chat eos = 151645; Llama-3 eot = 128009;
+            # Llama-3 base end_of_text = 128001)
+            eos_token=eos_token,
         )
+        # derive the safe bucket ladder from the HBM budget (round-3 VERDICT
+        # #8): 8B int8 + a multi-GB index leaves room for ~8 lanes, and the
+        # hand-set BATCH_SHAPE_BUCKETS footgun is replaced by this clamp
+        from ..utils import hbm
+
+        param_bytes = hbm.tree_nbytes(self.params)
+        tp = self.mesh.tp if self.mesh is not None else 1
+        self.ladder = hbm.derive_llm_bucket_ladder(
+            self.cfg, self.settings, param_bytes // max(1, tp),
+            self.settings.shape_buckets,
+        )
+        hbm.reserve("llm_params", param_bytes // max(1, tp))
         if self.settings.warmup_buckets:
             # pre-compile every (batch bucket, prefill bucket) generate
             # program — decode compiles are the slowest first-request stall
             s = self.settings
             max_new = s.max_tokens
             plen_cap = min(s.truncate_length, self.cfg.max_len - max_new)
-            for b in s.shape_buckets:
+            for b in self.ladder:
                 for p in s.prefill_bucket_list:
                     p = min(p, plen_cap)
                     fn = self._gen_fn(b, p, max_new)
@@ -394,6 +426,9 @@ class LLMComponent:
                     logger.info("llm warmup: bucket=%d prefill=%d done", b, p)
 
     def unload(self) -> None:
+        from ..utils import hbm
+
+        hbm.release("llm_params")
         self.params = None
         self.tokenizer = None
         self._gen.clear()
@@ -410,6 +445,9 @@ class LLMComponent:
             "context to answer the question."
         )
         user_msg = f"Context:\n{ctx}\n\nQuestion: {query}"
+        if not self.is_instruct:
+            # base checkpoints: plain completion prompt, no chat headers
+            return f"{sys_msg}\n\n{user_msg}\n\nAnswer:"
         if self.model_name.lower().startswith("meta-llama"):
             return (
                 "<|begin_of_text|><|start_header_id|>system"
@@ -474,14 +512,14 @@ class LLMComponent:
         plen_cap = min(s.truncate_length, self.cfg.max_len - max_new)
         all_ids, all_mask = self.tokenizer.encode_batch(prompts, plen_cap)
         out: list[str] = []
-        for cs, ce in chunk_spans(len(prompts), max(s.shape_buckets)):
+        for cs, ce in chunk_spans(len(prompts), max(self.ladder)):
             ids, mask = all_ids[cs:ce], all_mask[cs:ce]
             # prefill bucket: smallest bucket covering the longest prompt
             longest = int(mask.sum(axis=1).max())
             plen = pick_bucket(longest, s.prefill_bucket_list + (plen_cap,))
             plen = min(plen, plen_cap)
             ids, mask = ids[:, :plen], mask[:, :plen]
-            bucket = pick_bucket(ce - cs, s.shape_buckets)
+            bucket = pick_bucket(ce - cs, self.ladder)
             ids = pad_rows(ids, bucket)
             mask = pad_rows(mask, bucket)
             # fully-padded rows break position math; give them one live token
@@ -519,7 +557,7 @@ class LLMComponent:
             cache_len=s.kv_cache_max_len,
             segment_steps=s.decode_segment_steps,
             eos_token_id=self.tokenizer.eos_id,
-            admit_buckets=s.shape_buckets,
+            admit_buckets=self.ladder,
             prefill_buckets=s.prefill_bucket_list,
             pipeline_segments=s.decode_pipeline_segments,
             mesh=self.mesh,  # TP-shard the lane KV pool alongside the params

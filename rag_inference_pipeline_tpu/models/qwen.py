@@ -274,12 +274,15 @@ def _block(
             # lowers to a scatter that dominates the step at B>1 —
             # measured 1.55-1.62x faster per step at B=8, neutral at B=1
             # (PERF_NOTES "Decode anatomy", artifacts/round3/
-            # decode_anatomy.json). Semantics match DUS for in-bounds
-            # positions (every production cache is sized for its run).
+            # decode_anatomy.json). Positions are clamped to the last slot
+            # so out-of-bounds lanes overwrite slot S-1 — the exact
+            # dynamic_update_slice semantics — instead of silently
+            # dropping the newest k/v.
             s_len = cache_k.shape[1]
+            pos_clamped = jnp.minimum(positions[:, 0], s_len - 1)
             hit = (
                 jax.lax.broadcasted_iota(jnp.int32, (b, s_len), 1)
-                == positions[:, 0][:, None]
+                == pos_clamped[:, None]
             )[:, :, None, None]
             k_full = jnp.where(hit, k, cache_k)
             v_full = jnp.where(hit, v, cache_v)

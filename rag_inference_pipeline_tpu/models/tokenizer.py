@@ -31,12 +31,14 @@ class HashTokenizer:
         pad_id: int = 0,
         eos_id: Optional[int] = None,
         add_special: bool = True,
+        eos_token: Optional[str] = None,
     ) -> None:
         self.vocab_size = vocab_size
         self.cls_id = cls_id
         self.sep_id = sep_id
         self.pad_id = pad_id
         self.eos_id = eos_id if eos_id is not None else sep_id
+        self.eos_token = eos_token  # requested text form (introspection)
         self.add_special = add_special
         self._reserved = {cls_id, sep_id, pad_id, self.eos_id}
 
@@ -110,6 +112,7 @@ class HFTokenizer:
 
         self.tk = Tokenizer.from_file(tokenizer_file)
         self.pad_id = pad_id
+        self.eos_token = eos_token
         # resolve the real eos id from the vocabulary when a token string is
         # given (e.g. Qwen's <|im_end|> = 151645 — a hardcoded id would make
         # generation never stop or truncate at an ordinary token)
@@ -169,4 +172,7 @@ def make_tokenizer(
                 cand, pad_id=pad_id, eos_id=eos_id or pad_id,
                 eos_token=eos_token,
             )
-    return HashTokenizer(vocab_size=vocab_size, pad_id=pad_id, eos_id=eos_id)
+    return HashTokenizer(
+        vocab_size=vocab_size, pad_id=pad_id, eos_id=eos_id,
+        eos_token=eos_token,
+    )

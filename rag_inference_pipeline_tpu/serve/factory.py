@@ -83,6 +83,11 @@ class IndexComponent:
                 self.index.nprobe = self.settings.index_nprobe
             from .spmd import SPMDIndexProxy, is_front_door, is_spmd
 
+            # record the index's HBM footprint so the LLM can derive a
+            # safe bucket-ladder cap from the remaining budget (utils/hbm)
+            from ..utils import hbm
+
+            hbm.reserve("index", hbm.device_obj_bytes(self.index))
             if is_spmd():
                 if not is_front_door():
                     # worker process: NO local warmup searches — on a
@@ -116,6 +121,9 @@ class IndexComponent:
 
     def unload(self) -> None:
         if self.index is not None:
+            from ..utils import hbm
+
+            hbm.release("index")
             stop = getattr(self.index, "stop_workers", None)
             if stop is not None:  # SPMD front door: release worker loops
                 stop()

@@ -32,8 +32,19 @@ def setup_logging(settings: Settings) -> None:
     )
 
 
+def resolve_serving_settings(settings: Settings) -> Settings:
+    """Serving-entry defaults for tri-state knobs (library use keeps them
+    off). warmup_buckets None -> ON: a fresh deployment must never see the
+    measured 25.7 s in-band-compile p95 (round-3 VERDICT #9); opt out with
+    WARMUP_BUCKETS=0."""
+    if settings.warmup_buckets is None:
+        logger.info("WARMUP_BUCKETS unset — defaulting ON for serving")
+        settings = settings.model_copy(update={"warmup_buckets": True})
+    return settings
+
+
 def build_app(settings: Optional[Settings] = None) -> web.Application:
-    settings = settings or get_settings()
+    settings = resolve_serving_settings(settings or get_settings())
     profile = load_role_profile(settings)
     if profile.batch_overrides:
         # profile-level batch knob overrides (reference
