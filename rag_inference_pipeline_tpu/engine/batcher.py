@@ -21,7 +21,7 @@ from collections import deque
 from dataclasses import dataclass, field
 from typing import Any, Awaitable, Callable, Optional, Sequence
 
-from ..telemetry.metrics import BATCH_FLUSH, BATCH_SIZE, QUEUE_DEPTH
+from ..telemetry.metrics import BATCH_FLUSH, BATCH_SIZE, BATCH_WAIT, QUEUE_DEPTH
 
 logger = logging.getLogger(__name__)
 
@@ -116,6 +116,7 @@ class BatchScheduler:
         labels = (run_id, node, name)
         self._m_size = BATCH_SIZE.labels(*labels)
         self._m_depth = QUEUE_DEPTH.labels(*labels)
+        self._m_wait = BATCH_WAIT.labels(*labels)
         self._m_flush = {
             r: BATCH_FLUSH.labels(run_id, node, name, r)
             for r in ("full", "timeout", "shutdown")
@@ -129,6 +130,9 @@ class BatchScheduler:
             # start a batch that nothing will ever await
             if self._closed:
                 raise RuntimeError(f"scheduler {self.name} is stopped")
+            if not self._batch.items:
+                # wait is measured from FIRST enqueue, not batch construction
+                self._batch.created = time.monotonic()
             self._batch.items.append(item)
             self._batch.futures.append(fut)
             depth = len(self._batch.items)
@@ -155,6 +159,8 @@ class BatchScheduler:
             if self._closed:
                 raise RuntimeError(f"scheduler {self.name} is stopped")
             for item, fut in zip(items, futs):
+                if not self._batch.items:
+                    self._batch.created = time.monotonic()
                 self._batch.items.append(item)
                 self._batch.futures.append(fut)
                 if len(self._batch.items) >= self.batch_size:
@@ -181,9 +187,18 @@ class BatchScheduler:
         if self._timer is not None:
             self._timer.cancel()
             self._timer = None
+        wait_s = time.monotonic() - batch.created
         self._m_flush[reason].inc()
         self._m_size.observe(len(batch.items))
+        self._m_wait.observe(wait_s)
         self._m_depth.set(0)
+        # structured line for offline latency-budget analysis
+        # (scripts/analyze_latency_budget.py); one line per batch
+        logger.info(
+            'batch_flush {"name": "%s", "reason": "%s", "size": %d, '
+            '"wait_ms": %.1f}',
+            self.name, reason, len(batch.items), wait_s * 1e3,
+        )
         task = asyncio.create_task(self._run_batch(batch))
         self._tasks.add(task)
         task.add_done_callback(self._tasks.discard)

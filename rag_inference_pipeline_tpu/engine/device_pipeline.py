@@ -124,9 +124,17 @@ class DeviceRAGPipeline:
         self,
         bert_params: dict,
         qwen_params: dict,
-        db: np.ndarray,  # [N, D] corpus embeddings
+        db: Optional[np.ndarray],  # [N, D] corpus embeddings (host path)
         doc_tokens: np.ndarray,  # [N, doc_tok_len] int32 doc token ids
         doc_token_mask: Optional[np.ndarray] = None,  # [N, L] validity mask
+        *,
+        # device fast path: reuse an already-loaded int8 index's arrays
+        # instead of re-uploading the corpus as f32 (a 3 GB / multi-minute
+        # tunnel transfer at 1M rows) and holding a duplicate copy in HBM
+        db_i8=None,
+        db_scale=None,
+        db_rescore=None,  # bf16 rescore copy (same rows as db_i8)
+        ntotal: Optional[int] = None,
     ) -> None:
         ctx = self.mesh
         if doc_token_mask is None:
@@ -140,22 +148,40 @@ class DeviceRAGPipeline:
         self.qwen_params = shard_params(
             ctx, qwen_params, qwen_param_sharding(ctx, qwen_params)
         )
-        n = db.shape[0]
         dp = ctx.dp
-        n_pad = ((n + dp - 1) // dp) * dp
-        if n_pad != n:
-            db = np.concatenate([db, np.zeros((n_pad - n, db.shape[1]), db.dtype)])
-        if self.index_dtype == "int8":
-            dbj = jnp.asarray(db, jnp.float32)
-            db_i8, scale = quantize_global_int8(dbj)
-            self.db_i8 = ctx.put(db_i8, ctx.rows_dp)
-            self.db_scale = ctx.put(scale)
-            # bf16 copy for the exact shortlist re-score, sharded identically
-            self.db = ctx.put(dbj.astype(jnp.bfloat16), ctx.rows_dp)
+        if db_i8 is not None:
+            if self.index_dtype != "int8":
+                raise ValueError("device fast path requires index_dtype=int8")
+            if db_rescore is None:
+                raise ValueError("device fast path requires the bf16 rescore copy")
+            n = int(ntotal if ntotal is not None else db_i8.shape[0])
+            if db_i8.shape[0] % dp != 0:
+                raise ValueError(
+                    f"device-resident db rows {db_i8.shape[0]} not divisible "
+                    f"by dp={dp}; use the host build path"
+                )
+            n_pad = db_i8.shape[0]
+            self.db_i8 = ctx.put(jnp.asarray(db_i8), ctx.rows_dp)
+            self.db_scale = ctx.put(jnp.asarray(db_scale, jnp.float32))
+            self.db = ctx.put(jnp.asarray(db_rescore, jnp.bfloat16), ctx.rows_dp)
         else:
-            self.db_i8 = None
-            self.db_scale = None
-            self.db = ctx.put(jnp.asarray(db), ctx.rows_dp)
+            n = db.shape[0]
+            n_pad = ((n + dp - 1) // dp) * dp
+            if n_pad != n:
+                db = np.concatenate(
+                    [db, np.zeros((n_pad - n, db.shape[1]), db.dtype)]
+                )
+            if self.index_dtype == "int8":
+                dbj = jnp.asarray(db, jnp.float32)
+                db_i8q, scale = quantize_global_int8(dbj)
+                self.db_i8 = ctx.put(db_i8q, ctx.rows_dp)
+                self.db_scale = ctx.put(scale)
+                # bf16 copy for the exact shortlist re-score, sharded identically
+                self.db = ctx.put(dbj.astype(jnp.bfloat16), ctx.rows_dp)
+            else:
+                self.db_i8 = None
+                self.db_scale = None
+                self.db = ctx.put(jnp.asarray(db), ctx.rows_dp)
         shard_tokens = (
             self.shard_doc_tokens
             if self.shard_doc_tokens is not None
@@ -269,6 +295,9 @@ def _rag_step(
             scores, ids = fused_topk_int8gs(
                 emb, db_i8, db_scale, k,
                 rescore_db=db, rescore_k=rescore_k, interpret=interpret,
+                # db_i8 may be chunk-pad-aligned (device-array reuse from a
+                # loaded FlatIndex): mask the zero pad rows out of the top-k
+                ntotal=ntotal,
             )
     elif mesh.dp > 1:
         scores, ids = sharded_topk(

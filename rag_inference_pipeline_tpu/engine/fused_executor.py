@@ -43,6 +43,9 @@ class FusedExecutor:
         self.llm = llm
         self.sentiment = sentiment
         self.toxicity = toxicity
+        from ..telemetry.profiling import SampledStageProfiler
+
+        self.profiler = SampledStageProfiler(settings, "fused")
         # ONE pipeline: jax.jit specializes per input shape internally, and a
         # per-bucket pipeline would duplicate the HBM-resident corpus/params
         self._pipe: Optional[DeviceRAGPipeline] = None
@@ -85,7 +88,20 @@ class FusedExecutor:
         self._index_dtype = (
             "int8" if getattr(inner, "dtype_name", "") == "int8" else "bfloat16"
         )
-        if getattr(inner, "_db", None) is not None:
+        # device fast path: an int8 index with a device-resident bf16
+        # rescore copy already holds exactly the arrays the fused step
+        # scans — reuse them instead of re-uploading the corpus as f32
+        # (3 GB / minutes through the tunnel at 1M rows) and duplicating
+        # 2.3 GB in HBM
+        self._dev_arrays = None
+        self._db_host = None
+        if (
+            self._index_dtype == "int8"
+            and getattr(inner, "_db_i8", None) is not None
+            and getattr(inner, "_db", None) is not None
+        ):
+            self._dev_arrays = (inner._db_i8, inner._db_gscale, inner._db)
+        elif getattr(inner, "_db", None) is not None:
             self._db_host = np.asarray(inner._db[:n], np.float32)
         elif self._index_dtype == "int8" and inner._db_i8 is not None:
             self._db_host = np.asarray(
@@ -95,9 +111,11 @@ class FusedExecutor:
             )
         else:
             raise ValueError("fused pipeline: index holds no vectors")
+        self._ntotal = n
         logger.info(
-            "fused pipeline ready: %d docs, %d ctx tokens/doc, %s scan",
+            "fused pipeline ready: %d docs, %d ctx tokens/doc, %s scan%s",
             n, self.doc_tokens.shape[1], self._index_dtype,
+            " (device-array reuse)" if self._dev_arrays else "",
         )
 
     def unload(self) -> None:
@@ -123,10 +141,19 @@ class FusedExecutor:
                 # whenever retrieval_k >= 64 (recall 0.998 -> ~0.975)
                 rescore_k=s.retrieval_k + 64,
             )
-            pipe.build(
-                self.embedder.params, self.llm.params,
-                self._db_host, self.doc_tokens, self.doc_token_mask,
-            )
+            if self._dev_arrays is not None:
+                db_i8, gscale, db_bf16 = self._dev_arrays
+                pipe.build(
+                    self.embedder.params, self.llm.params,
+                    None, self.doc_tokens, self.doc_token_mask,
+                    db_i8=db_i8, db_scale=gscale, db_rescore=db_bf16,
+                    ntotal=self._ntotal,
+                )
+            else:
+                pipe.build(
+                    self.embedder.params, self.llm.params,
+                    self._db_host, self.doc_tokens, self.doc_token_mask,
+                )
             self._pipe = pipe
         return self._pipe
 
@@ -152,22 +179,27 @@ class FusedExecutor:
         buckets = tuple(
             -(-b // dp) * dp for b in s.shape_buckets
         )
+        prof = self.profiler.maybe_start()
         out_texts: list[str] = []
         max_chunk = max(buckets)
-        for start in range(0, len(items), max_chunk):
-            chunk_items = items[start : start + max_chunk]
-            out_texts.extend(self._run_chunk(chunk_items, buckets))
+        with prof.track("device_step"):
+            for start in range(0, len(items), max_chunk):
+                chunk_items = items[start : start + max_chunk]
+                out_texts.extend(self._run_chunk(chunk_items, buckets))
         texts = out_texts
-        sentiments = (
-            self.sentiment.analyze_batch(texts)
-            if self.sentiment is not None and self.sentiment.is_loaded
-            else ["neutral"] * len(texts)
-        )
-        tox = (
-            self.toxicity.check_batch(texts)
-            if self.toxicity is not None and self.toxicity.is_loaded
-            else [(False, 0.0)] * len(texts)
-        )
+        with prof.track("sentiment"):
+            sentiments = (
+                self.sentiment.analyze_batch(texts)
+                if self.sentiment is not None and self.sentiment.is_loaded
+                else ["neutral"] * len(texts)
+            )
+        with prof.track("toxicity"):
+            tox = (
+                self.toxicity.check_batch(texts)
+                if self.toxicity is not None and self.toxicity.is_loaded
+                else [(False, 0.0)] * len(texts)
+            )
+        prof.finish()
         from ..serve.schemas import TOXIC_PLACEHOLDER
 
         return [

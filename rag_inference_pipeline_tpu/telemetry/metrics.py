@@ -67,6 +67,11 @@ BATCH_FLUSH = get_metric(
     Counter, "pipeline_batch_flush_total", "Batch flushes by reason",
     ["run_id", "node", "service", "reason"],
 )
+BATCH_WAIT = get_metric(
+    Histogram, "pipeline_batch_wait_seconds",
+    "First-enqueue-to-flush wait per batch (the queueing share of p50)",
+    ["run_id", "node", "service"], buckets=_LAT_BUCKETS,
+)
 QUEUE_DEPTH = get_metric(
     Gauge, "pipeline_queue_depth", "Scheduler queue depth",
     ["run_id", "node", "service"],

@@ -296,3 +296,51 @@ class TestFusedSpeculative:
         np.testing.assert_array_equal(
             np.asarray(out_g.tokens), np.asarray(out_s.tokens)
         )
+
+
+class TestDeviceArrayReuse:
+    """Round-4: the fused pipeline reuses a loaded int8 FlatIndex's device
+    arrays (db_i8/gscale/bf16 rescore) instead of re-uploading the corpus
+    as f32 — must be token- and id-identical to the host build path."""
+
+    def test_device_fast_path_matches_host_build(self, rng):
+        from rag_inference_pipeline_tpu.index.flat import FlatIndex
+
+        ctx = make_mesh(dp=4, tp=2)
+        bert_cfg, qwen_cfg = BertConfig.tiny(), QwenConfig.tiny()
+        n, d = 256, bert_cfg.hidden
+        db = rng.standard_normal((n, d)).astype(np.float32)
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        doc_tokens = rng.integers(1, 400, (n, 8)).astype(np.int32)
+        bp = init_bert_params(jax.random.key(1), bert_cfg)
+        qp = init_qwen_params(jax.random.key(2), qwen_cfg)
+
+        def mk():
+            return DeviceRAGPipeline(
+                mesh=ctx, bert_cfg=bert_cfg, qwen_cfg=qwen_cfg,
+                k=5, ctx_docs=2, doc_tok_len=8, max_new_tokens=3,
+                index_dtype="int8", rescore_k=32,
+            )
+
+        host_pipe = mk()
+        host_pipe.build(bp, qp, db, doc_tokens)
+
+        idx = FlatIndex(d, dtype="int8", mesh=ctx, rescore_k=32)
+        idx.add(db)
+        dev_pipe = mk()
+        dev_pipe.build(
+            bp, qp, None, doc_tokens,
+            db_i8=idx._db_i8, db_scale=idx._db_gscale, db_rescore=idx._db,
+            ntotal=idx.ntotal,
+        )
+        # the index store is chunk-pad-aligned — more rows than the corpus
+        assert dev_pipe.db_i8.shape[0] >= n
+        q = rng.integers(1, 400, (8, 8)).astype(np.int32)
+        out_h = host_pipe.step(q, np.ones_like(q))
+        out_d = dev_pipe.step(q, np.ones_like(q))
+        np.testing.assert_array_equal(
+            np.asarray(out_h.doc_ids), np.asarray(out_d.doc_ids)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_h.tokens), np.asarray(out_d.tokens)
+        )
