@@ -110,11 +110,13 @@ class Settings(BaseModel):
     index_rescore_store: str = "device"
     index_pq_rescore_k: int = 256
     # IVF-PQ shortlist rescore store: "exact" = bf16 full vectors in HBM
-    # (<=5M); "host_int8" = int8 codes in HOST RAM, device shortlist +
-    # host exact refine — the >=30M single-chip recall-floor play (23 GB
-    # at 30M x 768 fits host RAM, never HBM); "pq8" = flat residual-PQ8
-    # codes in HBM (recall-tolerant device-only capacity points: re-
-    # ranking near-ties needs >=4 bits/dim, which PQ8 does not carry)
+    # (<=5M); "int4" = int4 per-row-scaled residuals in HBM (0.5 byte/dim,
+    # 11.7 GB at 30Mx768 — the >=4-bits/dim re-ranking threshold with NO
+    # host store); "host_int8" = int8 codes in HOST RAM, device shortlist
+    # + host exact refine (23 GB at 30Mx768 fits host RAM, never HBM);
+    # "pq8" = flat residual-PQ8 codes in HBM (precision-walled at ~0.46
+    # recall on tight clusters — warns loudly; kept for recall-tolerant
+    # capacity points only)
     index_pq_rescore_kind: str = "exact"
     # IVF bucket capacity = cap_factor * n/nlist (lane-aligned). 2.5 holds
     # every row in its home list on clustered corpora; 1.5 displaced 158k
@@ -275,12 +277,13 @@ class Settings(BaseModel):
                 "'host' (f16 host RAM, refine-from-storage)"
             )
         if self.index_pq_rescore_kind not in (
-            "exact", "pq8", "host_int8", "host_f16"
+            "exact", "int4", "pq8", "host_int8", "host_f16"
         ):
             raise ValueError(
                 "index_pq_rescore_kind must be 'exact' (bf16 vectors), "
-                "'pq8' (flat residual-PQ8 tier), 'host_int8' or "
-                "'host_f16' (host-RAM refine stores)"
+                "'int4' (HBM int4 residual tier), 'pq8' (flat residual-PQ8 "
+                "tier; precision-walled), 'host_int8' or 'host_f16' "
+                "(host-RAM refine stores)"
             )
         return self
 

@@ -117,6 +117,19 @@ class FusedExecutor:
             n, self.doc_tokens.shape[1], self._index_dtype,
             " (device-array reuse)" if self._dev_arrays else "",
         )
+        if self.settings.warmup_buckets:
+            # pre-compile the fused step for every batch bucket so no
+            # /query ever pays a 20-40 s in-band XLA compile
+            dp = self.mesh_ctx.dp
+            buckets = sorted({
+                -(-b // dp) * dp for b in self.settings.shape_buckets
+            })
+            for b in buckets:
+                self._run_chunk(
+                    [{"query": f"warmup {i}"} for i in range(b)],
+                    tuple(buckets),
+                )
+                logger.info("fused warmup: bucket=%d done", b)
 
     def unload(self) -> None:
         self._pipe = None

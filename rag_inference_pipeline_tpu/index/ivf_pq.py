@@ -16,10 +16,13 @@ import numpy as np
 
 from ..core.mesh import MeshContext
 from ..ops.pq import (
+    Int4ResidualTier,
     IVFPQListing,
     PQFlatTier,
+    build_int4_tier,
     build_ivfpq,
     build_pq_tier,
+    int4_tier_rescore_topk,
     ivfpq4_search_dedup,
     ivfpq_search,
     pq_tier_rescore_topk,
@@ -53,10 +56,21 @@ class IVFPQIndex(BaseIndex):
             raise ValueError(f"dim {dim} not divisible by pq m {m}")
         if ksub not in (16, 256):
             raise ValueError("ksub must be 16 (PQ4) or 256 (PQ8)")
-        if rescore_kind not in ("exact", "pq8", "host_int8", "host_f16"):
+        if rescore_kind not in (
+            "exact", "int4", "pq8", "host_int8", "host_f16"
+        ):
             raise ValueError(
-                "rescore_kind must be 'exact', 'pq8', 'host_int8' or "
-                "'host_f16'"
+                "rescore_kind must be 'exact', 'int4', 'pq8', 'host_int8' "
+                "or 'host_f16'"
+            )
+        if rescore_kind == "pq8":
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "rescore_kind='pq8' is precision-walled at ~0.46 recall@10 "
+                "on tight clusters (2 bits/dim cannot re-rank near-ties — "
+                "PERF_NOTES 'Host refine'); use 'int4' for an HBM-resident "
+                "tier at full re-ranking precision, or a host_* store"
             )
         # ksub=16 (PQ4) enables the one-hot MXU ADC dedup kernel on TPU —
         # the gather-free scan; double m to keep bits/row equal to PQ8
@@ -69,6 +83,11 @@ class IVFPQIndex(BaseIndex):
         # rescore_k > 0: re-score the top rescore_k ADC candidates before
         # cutting to k. rescore_kind picks the rescore store:
         #   "exact"     — bf16 full vectors in HBM (2 bytes/dim; <=5M)
+        #   "int4"      — int4 per-row-scaled residuals in HBM (0.5 byte/
+        #                 dim + 6 B/row = 390 B at 768 -> 11.7 GB at 30M):
+        #                 zero host-RAM store; measured a shade under the
+        #                 host_int8 tier's ranking precision (the 4-bit
+        #                 wall — ops/pq.py::Int4ResidualTier docstring)
         #   "pq8"       — flat residual-PQ8 codes in HBM (1 byte/subspace).
         #                 Measured precision wall: re-ranking near-tie
         #                 neighbors needs >=4 bits/dim, so this tier tops
@@ -96,6 +115,7 @@ class IVFPQIndex(BaseIndex):
         self._listing: Optional[IVFPQListing] = None
         self._vectors: Optional[jax.Array] = None  # rescore_kind == "exact"
         self._tier: Optional[PQFlatTier] = None  # rescore_kind == "pq8"
+        self._int4: Optional[Int4ResidualTier] = None  # rescore_kind == "int4"
         self._host_codes: Optional[np.ndarray] = None  # "host_int8" [N,D] i8
         self._host_scale: float = 0.0
         self._host_f16: Optional[np.ndarray] = None  # "host_f16" [N,D]
@@ -170,6 +190,10 @@ class IVFPQIndex(BaseIndex):
                 from ..utils.cpuscan import madvise_hugepage
 
                 madvise_hugepage(self._host_codes)
+            elif self.rescore_kind == "int4":
+                # tier shares the listing's coarse centroids (built before
+                # _maybe_shard so they are still replicated here)
+                self._int4 = build_int4_tier(v, self._listing.centroids)
             elif self.rescore_kind == "pq8":
                 # tier shares the listing's coarse centroids (built before
                 # _maybe_shard so they are still replicated here)
@@ -231,6 +255,12 @@ class IVFPQIndex(BaseIndex):
                 np.asarray(i),
                 k,
             )
+        if self.rescore_k and self._int4 is not None:
+            shortlist = max(k, self.rescore_k)
+            s, i = adc(q, shortlist)
+            return int4_tier_rescore_topk(
+                q.astype(jnp.float32), s, i, self._int4, k
+            )
         if self.rescore_k and self._tier is not None:
             shortlist = max(k, self.rescore_k)
             s, i = adc(q, shortlist)
@@ -252,6 +282,10 @@ class IVFPQIndex(BaseIndex):
             extra["tier_codebooks"] = np.asarray(self._tier.codebooks, np.float32)
             extra["tier_codes"] = np.asarray(self._tier.codes)
             extra["tier_assign"] = np.asarray(self._tier.assign)
+        if self._int4 is not None:
+            extra["int4_codes"] = np.asarray(self._int4.codes)
+            extra["int4_scale"] = np.asarray(self._int4.row_scale)
+            extra["int4_assign"] = np.asarray(self._int4.assign)
         if self._host_codes is not None:
             extra["host_codes"] = self._host_codes
             extra["host_scale"] = np.float32(self._host_scale)
@@ -311,6 +345,16 @@ class IVFPQIndex(BaseIndex):
                 )
                 idx.rescore_kind = "pq8"
                 idx.rescore_pq_m = int(z["tier_codes"].shape[1])
+            if "int4_codes" in z:
+                # tier centroids = the listing's (shared coarse k-means),
+                # captured here while still unsharded
+                idx._int4 = Int4ResidualTier(
+                    centroids=jnp.asarray(z["centroids"], jnp.float32),
+                    codes=jnp.asarray(z["int4_codes"]),
+                    row_scale=jnp.asarray(z["int4_scale"]),
+                    assign=jnp.asarray(z["int4_assign"]),
+                )
+                idx.rescore_kind = "int4"
             if "host_codes" in z:
                 idx._host_codes = np.ascontiguousarray(z["host_codes"])
                 from ..utils.cpuscan import madvise_hugepage
@@ -336,6 +380,7 @@ class IVFPQIndex(BaseIndex):
         self._listing = None
         self._vectors = None
         self._tier = None
+        self._int4 = None
         self._host_codes = None
         self._host_f16 = None
         self._loaded = False

@@ -409,7 +409,16 @@ class LLMComponent:
             self.settings.shape_buckets,
         )
         hbm.reserve("llm_params", param_bytes // max(1, tp))
-        if self.settings.warmup_buckets:
+        if self.settings.warmup_buckets and self.settings.use_fused_pipeline:
+            # the fused pipeline owns /query decode (and warms its own
+            # buckets, engine/fused_executor.py) — pre-compiling the
+            # standalone generate programs would cost ~12 tunnel compiles
+            # for a path this deployment never serves
+            logger.info(
+                "llm warmup skipped: fused pipeline owns decode "
+                "(standalone /generate compiles in-band if ever called)"
+            )
+        elif self.settings.warmup_buckets:
             # pre-compile every (batch bucket, prefill bucket) generate
             # program — decode compiles are the slowest first-request stall
             s = self.settings

@@ -782,3 +782,131 @@ def pq_tier_rescore_topk(
     scores = pq_rescore_flat(queries, ids, tier)
     top_s, sel = jax.lax.top_k(scores, min(k, scores.shape[1]))
     return top_s, jnp.take_along_axis(ids, sel, axis=1)
+
+
+class Int4ResidualTier(NamedTuple):
+    """Row-id-addressed int4 residual store for shortlist rescoring.
+
+    The HBM tier between pq8 and the host stores (round-3 VERDICT #6).
+    Measured precision ladder on the tight-cluster fixture (score-error
+    std, d=64, sigma_r=0.15): exact-bf16 2e-4 < int8-resid-row 1e-4 <
+    int8-full-global 1.1e-3 (the host_int8 tier, 0.958 recall@30M) <
+    int4-resid-row 2.0e-3 << pq8 (2 bits/dim). So int4 at 0.5 byte/dim
+    re-ranks a shade under the 1-byte/dim host_int8 tier — REFUTING the
+    round-3 hypothesis that 4 bits/dim suffices for exact-level near-tie
+    ranking (that needs ~6+; amax-clip sweeps measured strictly worse, so
+    this is the 4-bit wall, not a quantizer artifact). Cost: D/2 bytes +
+    6 B (assign + f16 row scale) per row = 390 B at D=768 -> 11.7 GB at
+    30M rows, HBM-resident on a 16 GB chip with zero host-RAM store.
+
+    Layout: residual r = x - centroid[assign] quantized symmetrically at
+    4 bits with a PER-ROW scale (one f16/row is free next to 384 B of
+    codes and beats a global scale by the row-amax spread), two codes per
+    byte (even dim -> low nibble). Stays replicated under dp-sharded
+    listings — shortlist ids are global.
+
+    Reference analog: faiss refine-from-storage with a scalar-quantized
+    refine index (reference faiss_store.py:96-100 precomputed-table tier).
+    """
+
+    centroids: jax.Array  # [nlist, D] f32 (replicated, ~12 MB at 4096)
+    codes: jax.Array  # [N, D//2] uint8, two int4 residual codes per byte
+    row_scale: jax.Array  # [N] f16 per-row dequant scale
+    assign: jax.Array  # [N] i32 coarse list of each row
+
+
+def build_int4_tier(
+    x_host: np.ndarray,
+    centroids: jax.Array,
+    *,
+    encode_chunk: int = 1_048_576,
+) -> Int4ResidualTier:
+    """Encode x as int4 residuals against existing coarse centroids.
+
+    Streams `encode_chunk` rows so the f32 residual transient stays
+    bounded next to whatever already lives in HBM.
+    """
+    from .kmeans import assign_clusters
+
+    n, d = x_host.shape
+    if d % 2 != 0:
+        raise ValueError(f"int4 tier requires even dim, got {d}")
+    cent = jnp.asarray(centroids, jnp.float32)
+
+    @jax.jit
+    def encode(xc):
+        a = assign_clusters(xc, cent)
+        r = xc - cent[a]
+        amax = jnp.max(jnp.abs(r), axis=1)
+        scale = jnp.maximum(amax / 7.0, 1e-8)
+        q = jnp.clip(jnp.round(r / scale[:, None]), -8, 7).astype(jnp.int32)
+        u = (q + 8).astype(jnp.uint8)
+        packed = u[:, 0::2] | (u[:, 1::2] << 4)
+        return a, packed, scale.astype(jnp.float16)
+
+    codes = np.empty((n, d // 2), np.uint8)
+    assign = np.empty(n, np.int32)
+    row_scale = np.empty(n, np.float16)
+    for lo in range(0, n, encode_chunk):
+        xc = jnp.asarray(x_host[lo : lo + encode_chunk], jnp.float32)
+        a, packed, scale = encode(xc)
+        assign[lo : lo + encode_chunk] = np.asarray(a)
+        codes[lo : lo + encode_chunk] = np.asarray(packed)
+        row_scale[lo : lo + encode_chunk] = np.asarray(scale)
+    return Int4ResidualTier(
+        centroids=cent,
+        codes=jnp.asarray(codes),
+        row_scale=jnp.asarray(row_scale),
+        assign=jnp.asarray(assign),
+    )
+
+
+@jax.jit
+def int4_rescore_flat(
+    queries: jax.Array, ids: jax.Array, tier: Int4ResidualTier
+) -> jax.Array:
+    """Re-score shortlist ids against the int4 residual tier.
+
+    queries [B, D]; ids [B, S] i32 (-1 = invalid) -> scores [B, S] f32.
+    score = q . centroid[assign[id]]  (exact, from the replicated f32
+    centroids) + q . dequant(codes[id])  (int4 residual term) — the same
+    reconstruction identity as the PQ tier at 2x the bits/dim.
+    """
+    qf = queries.astype(jnp.float32)
+    b, s = ids.shape
+    safe = jnp.clip(ids, 0)
+    codes_g = jnp.take(tier.codes, safe, axis=0)  # [B, S, D/2] u8
+    a_g = jnp.take(tier.assign, safe, axis=0)  # [B, S]
+    scale_g = jnp.take(tier.row_scale, safe, axis=0).astype(jnp.float32)
+    coarse = jnp.dot(
+        qf, tier.centroids.T, preferred_element_type=jnp.float32
+    )  # [B, nlist]
+    coarse_term = jnp.take_along_axis(coarse, a_g, axis=1)  # [B, S]
+    low = (codes_g & jnp.uint8(0x0F)).astype(jnp.int32) - 8
+    high = (codes_g >> 4).astype(jnp.int32) - 8
+    # (dim 2i -> low nibble, 2i+1 -> high) — inverse of build's packing
+    r_q = jnp.stack([low, high], axis=-1).reshape(b, s, -1)
+    resid_term = (
+        jnp.einsum(
+            "bsd,bd->bs",
+            r_q.astype(jnp.bfloat16),
+            queries.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        * scale_g
+    )
+    return jnp.where(ids >= 0, coarse_term + resid_term, NEG_INF)
+
+
+def int4_tier_rescore_topk(
+    queries: jax.Array,
+    adc_scores: jax.Array,
+    ids: jax.Array,
+    tier: Int4ResidualTier,
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Shortlist (from any ADC search) -> int4-tier-rescored top-k."""
+    del adc_scores  # replaced entirely by the finer reconstruction
+    scores = int4_rescore_flat(queries, ids, tier)
+    top_s, sel = jax.lax.top_k(scores, min(k, scores.shape[1]))
+    return top_s, jnp.take_along_axis(ids, sel, axis=1)
