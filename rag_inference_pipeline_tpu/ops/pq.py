@@ -323,12 +323,16 @@ def ivfpq_search(
     *,
     nprobe: int = 64,
     probe_chunk: int = 8,
+    coarse_floor: Optional[jax.Array] = None,  # [B, 1] min coarse score
 ) -> tuple[jax.Array, jax.Array]:
     """IVF-PQ search (IP metric, residual codes).
 
     score(q, x in list p) ~= q.centroid_p + ADC(q, residual codes). Probed
     lists are scored in `probe_chunk` blocks to bound the gather working set.
-    Returns (scores [B,k] f32, ids [B,k] i32).
+    Returns (scores [B,k] f32, ids [B,k] i32). `coarse_floor` drops probed
+    lists below a caller-supplied coarse threshold — the sharded search
+    passes the GLOBAL nprobe-th coarse score so each shard scans exactly
+    its share of the global probe set (ops/pq.py::sharded_ivfpq_search).
     """
     nlist, cap, _m_store = listing.code_buckets.shape
     m = listing.codebooks.shape[0]  # _m_store may be lane-padded (PQ4)
@@ -340,6 +344,8 @@ def ivfpq_search(
         qf, listing.centroids.T, preferred_element_type=jnp.float32
     )  # [B, nlist]
     coarse_s, probe = jax.lax.top_k(coarse, nprobe)  # both [B, nprobe]
+    if coarse_floor is not None:
+        coarse_s = jnp.where(coarse_s >= coarse_floor, coarse_s, NEG_INF)
     # pad the probe set up to a probe_chunk multiple (truncating would
     # silently drop the tail lists); padded columns repeat the last probe
     # with a NEG_INF coarse term so their candidates can never win
@@ -482,12 +488,15 @@ def ivfpq4_search_dedup(
     max_slots: int = 0,
     interpret: bool = False,
     cap_block: int = 0,  # 0 = auto (_adc4_cap_chunk); tests force small
+    coarse_floor: Optional[jax.Array] = None,  # [B, 1] min coarse score
 ) -> tuple[jax.Array, jax.Array]:
     """IVF-PQ4 search (IP, residual codes) with the one-hot MXU ADC kernel.
 
     Requires a listing built with ksub=16 (PQ4). Returns
     (scores [B,k] f32, ids [B,k] i32). Scores are coarse + residual-ADC
     approximations; callers wanting exactness re-score survivors.
+    `coarse_floor` drops probed lists below a caller-supplied coarse
+    threshold (global probe selection in the sharded search).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -557,6 +566,8 @@ def ivfpq4_search_dedup(
     )  # [B, n_slots]
     s_bq = jnp.transpose(scores[:, :b, :], (1, 0, 2))  # [B, n_slots, cap]
     s_bq = s_bq + coarse_term[:, :, None]
+    if coarse_floor is not None:
+        member = member & (coarse_term >= coarse_floor)
     valid = member[:, :, None] & (ids_g >= 0)[None]
     s_bq = jnp.where(valid, s_bq, NEG_INF)
     flat_s = s_bq.reshape(b, n_slots * cap)
@@ -607,14 +618,19 @@ def sharded_ivfpq_search(
 ) -> tuple[jax.Array, jax.Array]:
     """IVF-PQ search over dp-sharded lists (distributed-faiss shape).
 
-    Same collective-merge pattern as ops/ivf.py::sharded_ivf_search: each
-    shard owns nlist/dp lists + their centroid slice, probes its local
-    top-`nprobe_local` (default ceil(nprobe/dp) — single-device work
-    parity), runs the shard-local ADC (PQ4 one-hot MXU kernel for
-    ksub=16, gather-ADC otherwise), and the per-shard top-k candidate
-    sets all-gather + merge identically on every device. Stored ids are
-    global. Exact re-score of the merged shortlist is the caller's job
-    (index/ivf_pq.py) — rescore vectors do not shard with the lists.
+    Probe selection is GLOBAL, as in ops/ivf.py::sharded_ivf_search: the
+    per-shard coarse scores all-gather into the full [B, nlist] table (KBs
+    over ICI), every shard derives the same global top-nprobe threshold,
+    and its local ADC (PQ4 one-hot MXU kernel for ksub=16, gather-ADC
+    otherwise) drops owned lists below it via `coarse_floor` — so the
+    scanned union matches the unsharded search by construction (round-3
+    VERDICT #7). `nprobe_local` is the per-shard scan-slot budget
+    (default ceil(nprobe/dp) — single-device work parity; a shard owning
+    more global winners than slots drops the tail). Per-shard top-k
+    candidate sets all-gather + merge identically on every device.
+    Stored ids are global. Exact re-score of the merged shortlist is the
+    caller's job (index/ivf_pq.py) — rescore vectors do not shard with
+    the lists.
     """
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
@@ -626,6 +642,7 @@ def sharded_ivfpq_search(
         nprobe_local = max(1, -(-nprobe // dp))
     nlist = listing.code_buckets.shape[0]
     nprobe_local = min(nprobe_local, nlist // dp)
+    nprobe_eff = min(nprobe, nlist)
     ksub = listing.codebooks.shape[1]
 
     def local(q, cents, cbooks, cbuckets, ids, sizes):
@@ -633,12 +650,19 @@ def sharded_ivfpq_search(
             centroids=cents, codebooks=cbooks, code_buckets=cbuckets,
             ids=ids, list_sizes=sizes,
         )
+        coarse_l = jnp.dot(q, cents.T, preferred_element_type=jnp.float32)
+        coarse_g = jax.lax.all_gather(coarse_l, DP_AXIS, axis=1, tiled=True)
+        tvals, _ = jax.lax.top_k(coarse_g, nprobe_eff)
+        floor = tvals[:, -1:]  # [B, 1] global nprobe-th coarse score
         if ksub == 16:
             s, i = ivfpq4_search_dedup(
-                loc, q, k, nprobe=nprobe_local, interpret=interpret
+                loc, q, k, nprobe=nprobe_local, interpret=interpret,
+                coarse_floor=floor,
             )
         else:
-            s, i = ivfpq_search(loc, q, k, nprobe=nprobe_local)
+            s, i = ivfpq_search(
+                loc, q, k, nprobe=nprobe_local, coarse_floor=floor
+            )
         if s.shape[1] < k:
             pad = k - s.shape[1]
             s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=-jnp.inf)
