@@ -142,6 +142,13 @@ class Settings(BaseModel):
     # retrieved context (models/qwen.py::ngram_speculative_generate)
     use_speculative_decoding: bool = False
     speculative_gamma: int = 8
+    # BENCHMARK-ONLY acceptance injection for speculative decoding: replaces
+    # the per-draft accept test with Bernoulli(p) so the acceptance->latency
+    # curve is measurable without real checkpoints (offline rig: random-init
+    # weights give k-bar ~ 1). Timing-faithful, but emitted text is NOT
+    # greedy-identical in this mode (models/qwen.py docstring) — never set
+    # in production manifests.
+    speculative_inject_p: Optional[float] = None
     # int8 weight quantization for the LLM decode path (W8A8-dynamic,
     # models/qwen.py::quantize_qwen_params): halves the per-step HBM weight
     # stream — the measured B=1 decode wall. "none" keeps param_dtype.

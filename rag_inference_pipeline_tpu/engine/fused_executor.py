@@ -49,6 +49,9 @@ class FusedExecutor:
         # ONE pipeline: jax.jit specializes per input shape internally, and a
         # per-bucket pipeline would duplicate the HBM-resident corpus/params
         self._pipe: Optional[DeviceRAGPipeline] = None
+        # sentiment + toxicity as ONE device dispatch (they were two serial
+        # ~30 ms tunnel RTTs — the top serving-p50 line after the fused step)
+        self._joint_fwd = None
         self.mesh_ctx = mesh_ctx
         self.index = index
         self.doc_tokens: Optional[np.ndarray] = None
@@ -130,6 +133,13 @@ class FusedExecutor:
                     tuple(buckets),
                 )
                 logger.info("fused warmup: bucket=%d done", b)
+            if (
+                self.sentiment is not None and self.sentiment.is_loaded
+                and self.toxicity is not None and self.toxicity.is_loaded
+            ):
+                for b in self.settings.shape_buckets:
+                    self._classify_joint([f"warmup {i}" for i in range(b)])
+                logger.info("fused warmup: joint classifier buckets done")
 
     def unload(self) -> None:
         self._pipe = None
@@ -153,6 +163,12 @@ class FusedExecutor:
                 # would otherwise silently disable the exact bf16 re-score
                 # whenever retrieval_k >= 64 (recall 0.998 -> ~0.975)
                 rescore_k=s.retrieval_k + 64,
+                # per-lane n-gram speculation inside the fused step (round-3
+                # VERDICT #5): token-identical to greedy unless the
+                # benchmark-only acceptance injection is set
+                speculative=s.use_speculative_decoding,
+                spec_gamma=s.speculative_gamma,
+                inject_accept_p=s.speculative_inject_p,
             )
             if self._dev_arrays is not None:
                 db_i8, gscale, db_bf16 = self._dev_arrays
@@ -200,18 +216,24 @@ class FusedExecutor:
                 chunk_items = items[start : start + max_chunk]
                 out_texts.extend(self._run_chunk(chunk_items, buckets))
         texts = out_texts
-        with prof.track("sentiment"):
-            sentiments = (
-                self.sentiment.analyze_batch(texts)
-                if self.sentiment is not None and self.sentiment.is_loaded
-                else ["neutral"] * len(texts)
-            )
-        with prof.track("toxicity"):
-            tox = (
-                self.toxicity.check_batch(texts)
-                if self.toxicity is not None and self.toxicity.is_loaded
-                else [(False, 0.0)] * len(texts)
-            )
+        sent_on = self.sentiment is not None and self.sentiment.is_loaded
+        tox_on = self.toxicity is not None and self.toxicity.is_loaded
+        if sent_on and tox_on:
+            with prof.track("classify"):
+                sentiments, tox = self._classify_joint(texts)
+        else:
+            with prof.track("sentiment"):
+                sentiments = (
+                    self.sentiment.analyze_batch(texts)
+                    if sent_on
+                    else ["neutral"] * len(texts)
+                )
+            with prof.track("toxicity"):
+                tox = (
+                    self.toxicity.check_batch(texts)
+                    if tox_on
+                    else [(False, 0.0)] * len(texts)
+                )
         prof.finish()
         from ..serve.schemas import TOXIC_PLACEHOLDER
 
@@ -223,6 +245,65 @@ class FusedExecutor:
             }
             for text, sent, (t, _) in zip(texts, sentiments, tox)
         ]
+
+    def _classify_joint(
+        self, texts: Sequence[str]
+    ) -> tuple[list[str], list[tuple[bool, float]]]:
+        """Both post-processing classifiers in ONE jit dispatch.
+
+        The standalone path (`SentimentComponent.analyze_batch` then
+        `ToxicityComponent.check_batch`) serializes two device calls — each
+        ~4 ms of encoder compute behind ~30 ms of tunnel RTT (PERF_NOTES
+        "Fused SERVING" latency budget). Running both BERT heads inside one
+        jitted function keeps the reference's response contract
+        (components/sentiment.py:139-190 + components/toxicity.py:130-231)
+        at a single dispatch. Label/threshold semantics are identical to the
+        standalone methods (argmax 5-star map; multi-label sigmoid max vs
+        0.5)."""
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+
+        from ..models.bert import bert_classify
+        from ..models.components import _SENTIMENT_LABELS
+        from ..utils.shapes import chunk_spans
+
+        sent, tox = self.sentiment, self.toxicity
+        if self._joint_fwd is None:
+            s_fwd = partial(bert_classify, cfg=sent.cfg)
+            t_fwd = partial(bert_classify, cfg=tox.cfg)
+
+            def joint(sp, tp, ids_s, mask_s, ids_t, mask_t):
+                return (
+                    s_fwd(sp, input_ids=ids_s, attn_mask=mask_s),
+                    t_fwd(tp, input_ids=ids_t, attn_mask=mask_t),
+                )
+
+            self._joint_fwd = jax.jit(joint)
+        clipped = [t[:512] for t in texts]  # char-truncate, reference :157
+        ids_s, mask_s = sent.tokenizer.encode_batch(clipped, sent.max_len)
+        ids_t, mask_t = tox.tokenizer.encode_batch(clipped, tox.max_len)
+        buckets = self.settings.shape_buckets
+        labels: list[str] = []
+        verdicts: list[tuple[bool, float]] = []
+        for cs, ce in chunk_spans(len(clipped), max(buckets)):
+            bucket = pick_bucket(ce - cs, buckets)
+            ls, lt = self._joint_fwd(
+                sent.params,
+                tox.params,
+                *(
+                    jnp.asarray(pad_rows(a[cs:ce], bucket))
+                    for a in (ids_s, mask_s, ids_t, mask_t)
+                ),
+            )
+            ls = np.asarray(ls)[: ce - cs]
+            lt = np.asarray(lt)[: ce - cs]
+            labels.extend(_SENTIMENT_LABELS[int(i)] for i in ls.argmax(axis=1))
+            worst = (1.0 / (1.0 + np.exp(-lt))).max(axis=1)
+            verdicts.extend(
+                (bool(w >= tox.THRESHOLD), float(w)) for w in worst
+            )
+        return labels, verdicts
 
     def _run_chunk(self, items: Sequence[dict], buckets) -> list[str]:
         queries = [it.get("query", "") for it in items]

@@ -484,6 +484,9 @@ class LLMComponent:
                     gamma=self.settings.speculative_gamma,
                     eos_token_id=self.tokenizer.eos_id,
                     cache_len=prompt_len + max_new,
+                    # benchmark-only Bernoulli(p) acceptance (config.py
+                    # speculative_inject_p); None = real prompt-lookup
+                    inject_accept_p=self.settings.speculative_inject_p,
                 )
 
                 def fn(params, input_ids, attn_mask):
@@ -621,6 +624,12 @@ class SentimentComponent(_BertBase):
 
     def load(self) -> None:
         super().load()
+        if self.settings.use_fused_pipeline:
+            # the fused executor classifies via its joint dispatch
+            # (engine/fused_executor.py::_classify_joint) and warms those
+            # buckets itself — the standalone program would never run
+            logger.info("sentiment warmup skipped: fused joint classifier")
+            return
         buckets = (
             self.settings.shape_buckets
             if self.settings.warmup_buckets
@@ -658,6 +667,9 @@ class ToxicityComponent(_BertBase):
 
     def load(self) -> None:
         super().load()
+        if self.settings.use_fused_pipeline:
+            logger.info("toxicity warmup skipped: fused joint classifier")
+            return
         buckets = (
             self.settings.shape_buckets
             if self.settings.warmup_buckets

@@ -90,7 +90,7 @@ def main() -> None:
         args.dim, args.nlist, nprobe=args.nprobe, mesh=None, cap_factor=2.5
     )
     t0 = time.time()
-    idx.train_add(x, train_size=min(args.rows, 65536), kmeans_iters=10)
+    idx.train_add(x, train_size=min(args.rows, 65536), iters=10)
     print(f"built in {time.time() - t0:.1f}s", flush=True)
     _, ids_u = idx.search(qj, args.k)
     r_unsharded = recall(np.asarray(ids_u), oracle, args.k)
