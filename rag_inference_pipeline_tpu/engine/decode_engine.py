@@ -329,6 +329,19 @@ class DecodeEngine:
         self.gamma = gamma
         self.spec_rounds = spec_rounds
         self.inject_accept_p = inject_accept_p
+        # Prometheus: lane occupancy + emitted tokens (Grafana engine row)
+        from ..core.config import get_settings
+        from ..telemetry.metrics import (
+            ENGINE_LANES_ACTIVE,
+            ENGINE_SEGMENTS,
+            TOKENS_GENERATED,
+        )
+
+        _s = get_settings()
+        _lbl = (_s.run_id, str(_s.node_number))
+        self._m_lanes = ENGINE_LANES_ACTIVE.labels(*_lbl)
+        self._m_segments = ENGINE_SEGMENTS.labels(*_lbl)
+        self._m_tokens = TOKENS_GENERATED.labels(*_lbl)
         # speculative segments place a gamma+1 verify window before rollback;
         # the extra headroom keeps logical capacity equal to plain mode
         s_alloc = cache_len + (gamma + 1 if speculative else 0)
@@ -559,6 +572,7 @@ class DecodeEngine:
                 jnp.asarray(offsets),
                 cfg=self.cfg, steps=self.segment_steps, eos=self.eos,
             )
+        self._m_segments.inc()
         snapshot = []
         for lane, req in enumerate(self._lane_req):
             if req is not None:
@@ -588,6 +602,7 @@ class DecodeEngine:
             finished = done_np[lane] or req.written >= req.max_new_tokens
             if finished:
                 toks = self._collect(lane, req)
+                self._m_tokens.inc(len(toks))
                 if not req.future.done():
                     req.future.get_loop().call_soon_threadsafe(
                         lambda f=req.future, t=toks: (
@@ -595,3 +610,4 @@ class DecodeEngine:
                         )
                     )
                 self._lane_req[lane] = None
+        self._m_lanes.set(sum(r is not None for r in self._lane_req))

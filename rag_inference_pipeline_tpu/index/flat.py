@@ -9,6 +9,7 @@ exact XLA scan (oracle / CPU).
 from __future__ import annotations
 
 import functools
+import time
 from typing import Optional
 
 import jax
@@ -293,12 +294,22 @@ class FlatIndex(BaseIndex):
                         interpret=interpret, ntotal=self.ntotal,
                         mm_bf16=False,
                     )
-                return _host_f16_rescore(
+                t0 = time.perf_counter()
+                out = _host_f16_rescore(
                     np.asarray(q, np.float32),
                     self._host_rescore,
                     np.asarray(ids),
                     k,
                 )
+                # Grafana host-refine row (telemetry/metrics.py)
+                from ..core.config import get_settings
+                from ..telemetry.metrics import STAGE_DURATION
+
+                _s = get_settings()
+                STAGE_DURATION.labels(
+                    _s.run_id, str(_s.node_number), "index", "host_refine"
+                ).observe(time.perf_counter() - t0)
+                return out
             # rescore gate inside the kernel is `rescore_k > k`: keep the
             # exact bf16 re-score ON for any k by deepening the shortlist
             # (silently losing the rescore drops recall 0.998 -> ~0.975)

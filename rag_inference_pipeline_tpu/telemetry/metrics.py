@@ -104,6 +104,15 @@ TOKENS_GENERATED = get_metric(
     Counter, "pipeline_tokens_generated_total", "LLM tokens emitted",
     ["run_id", "node"],
 )
+ENGINE_LANES_ACTIVE = get_metric(
+    Gauge, "pipeline_engine_lanes_active",
+    "Continuous-batching decode lanes currently holding a request",
+    ["run_id", "node"],
+)
+ENGINE_SEGMENTS = get_metric(
+    Counter, "pipeline_engine_segments_total",
+    "Decode-engine segments dispatched", ["run_id", "node"],
+)
 
 
 def render_metrics() -> bytes:

@@ -46,8 +46,11 @@ class _NullProfile:
 
 
 class _ActiveProfile:
-    def __init__(self, service: str) -> None:
+    def __init__(
+        self, service: str, metric_labels: Optional[tuple] = None
+    ) -> None:
         self.service = service
+        self.metric_labels = metric_labels
         self.stages: list[dict] = []
         self._t0 = time.monotonic()
 
@@ -58,14 +61,24 @@ class _ActiveProfile:
         try:
             yield
         finally:
+            dur = time.monotonic() - start
             self.stages.append(
                 {
                     "stage": stage,
-                    "duration_ms": (time.monotonic() - start) * 1e3,
+                    "duration_ms": dur * 1e3,
                     "rss_delta_mb": get_resource_snapshot().get("rss_mb", 0.0)
                     - rss0,
                 }
             )
+            if self.metric_labels is not None:
+                # sampled stages also land in Prometheus so the Grafana
+                # per-stage rows (fused:device_step, classify, ...) work
+                # without log scraping
+                from .metrics import STAGE_DURATION
+
+                STAGE_DURATION.labels(
+                    *self.metric_labels, stage
+                ).observe(dur)
 
     def finish(self) -> None:
         logger.info(
@@ -87,11 +100,14 @@ class SampledStageProfiler:
         self.enabled = settings.enable_profiling
         self.rate = settings.profiling_sample_rate
         self.service = service
+        self._labels = (
+            settings.run_id, str(settings.node_number), service,
+        )
         self._null = _NullProfile()
 
     def maybe_start(self):
         if self.enabled and random.random() < self.rate:
-            return _ActiveProfile(self.service)
+            return _ActiveProfile(self.service, self._labels)
         return self._null
 
 
