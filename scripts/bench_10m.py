@@ -42,6 +42,8 @@ recall row the on-chip bf16 copy can't provide at >=10M.
 
 from __future__ import annotations
 
+import _pathfix  # noqa: F401  (repo-root import without pip install)
+
 import argparse
 import functools
 import json

@@ -13,6 +13,8 @@ Protocol per PERF_NOTES.md: pipelined submissions, varied inputs.
 
 from __future__ import annotations
 
+import _pathfix  # noqa: F401  (repo-root import without pip install)
+
 import argparse
 import json
 import os

@@ -23,6 +23,8 @@ p50 1,470 ms (reference llm.py:343-350; BASELINE.md row 1).
 
 from __future__ import annotations
 
+import _pathfix  # noqa: F401  (repo-root import without pip install)
+
 import argparse
 import functools
 import json

@@ -13,6 +13,8 @@ Usage: python scripts/bench_engine_ab.py [--requests 48] [--lanes 16]
 
 from __future__ import annotations
 
+import _pathfix  # noqa: F401  (repo-root import without pip install)
+
 import argparse
 import asyncio
 import os

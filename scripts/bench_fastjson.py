@@ -9,6 +9,8 @@ Pure host, no TPU. Writes artifacts/round3/fastjson_bench.json.
 
 from __future__ import annotations
 
+import _pathfix  # noqa: F401  (repo-root import without pip install)
+
 import json
 import time
 

@@ -14,6 +14,8 @@ per-call fetch-minus-RTT cross-check.
 
 from __future__ import annotations
 
+import _pathfix  # noqa: F401  (repo-root import without pip install)
+
 import argparse
 import time
 

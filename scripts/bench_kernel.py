@@ -20,6 +20,8 @@ faiss IndexFlat search, src/pipeline/components/faiss_store.py:113-158.
 
 from __future__ import annotations
 
+import _pathfix  # noqa: F401  (repo-root import without pip install)
+
 import argparse
 import json
 import os

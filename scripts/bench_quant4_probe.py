@@ -31,6 +31,8 @@ Writes artifacts/round3/quant4_probe.json.
 
 from __future__ import annotations
 
+import _pathfix  # noqa: F401  (repo-root import without pip install)
+
 import argparse
 import json
 import os

@@ -24,6 +24,8 @@ Writes artifacts/round3/quant_decode.json.
 
 from __future__ import annotations
 
+import _pathfix  # noqa: F401  (repo-root import without pip install)
+
 import argparse
 import json
 import os

@@ -12,6 +12,8 @@ Pure host (no TPU). Writes artifacts/round3/rescore_host.json.
 
 from __future__ import annotations
 
+import _pathfix  # noqa: F401  (repo-root import without pip install)
+
 import argparse
 import json
 import os

@@ -20,6 +20,8 @@ B x {json, b64} x concurrency, writes artifacts/round3/retrieve_http.json.
 
 from __future__ import annotations
 
+import _pathfix  # noqa: F401  (repo-root import without pip install)
+
 import argparse
 import asyncio
 import base64

@@ -18,6 +18,8 @@ Writes artifacts/round3/scan_unroll.json.
 
 from __future__ import annotations
 
+import _pathfix  # noqa: F401  (repo-root import without pip install)
+
 import argparse
 import json
 import os

@@ -16,6 +16,8 @@ Usage:
 
 from __future__ import annotations
 
+import _pathfix  # noqa: F401  (repo-root import without pip install)
+
 import argparse
 import os
 import shutil

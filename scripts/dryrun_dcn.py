@@ -16,6 +16,8 @@ Parent mode (no args) spawns the two workers and checks both exit 0.
 
 from __future__ import annotations
 
+import _pathfix  # noqa: F401  (repo-root import without pip install)
+
 import argparse
 import os
 import socket

@@ -25,6 +25,8 @@ retrieval/api.py:300-349 + rpc_client.py:44-88.
 
 from __future__ import annotations
 
+import _pathfix  # noqa: F401  (repo-root import without pip install)
+
 import argparse
 import base64
 import json

@@ -27,6 +27,8 @@ Reference semantics target: faiss IndexIVFFlat nprobe search
 
 from __future__ import annotations
 
+import _pathfix  # noqa: F401  (repo-root import without pip install)
+
 import argparse
 import json
 import os

@@ -14,6 +14,8 @@ Usage:  python scripts/tpu_smoke.py [--n 200000] [--quick]
 
 from __future__ import annotations
 
+import _pathfix  # noqa: F401  (repo-root import without pip install)
+
 import argparse
 import json
 import sys
