@@ -124,9 +124,11 @@ class Settings(BaseModel):
     # (artifacts/round3/ivf_oracle_1m_realistic*.json). Cost is padded HBM:
     # bucket storage = cap_factor * n rows.
     index_cap_factor: float = 2.5
-    # dp-sharded IVF only: per-shard local probe budget (0 = auto,
-    # ceil(nprobe/dp) — single-device work parity; raise toward nprobe
-    # for recall >= unsharded at dp x the scan cost)
+    # dp-sharded IVF only: per-shard scan-slot budget (0 = auto,
+    # 2*ceil(nprobe/dp) — the measured exactness point: exact parity
+    # with unsharded from 2x the balanced share, sub-parity at 1x;
+    # artifacts/round4/ivf_sharded_parity.json. Raise toward nprobe to
+    # bound worst-case skew at dp x the scan cost)
     index_nprobe_local: int = 0
     index_shard_axis: str = "dp"  # mesh axis database rows are sharded over
 

@@ -45,9 +45,10 @@ class IVFFlatIndex(BaseIndex):
         super().__init__(dim, metric)
         self.nlist = nlist
         self.nprobe = nprobe
-        # sharded search only: per-shard local probe budget; 0 = auto
-        # (ceil(nprobe/dp), single-device work parity). Raise toward
-        # nprobe for recall >= unsharded at dp x scan cost.
+        # sharded search only: per-shard scan-slot budget; 0 = auto
+        # (2*ceil(nprobe/dp) — measured exact-parity point, see
+        # ops/ivf.py::sharded_ivf_search). Raise toward nprobe to bound
+        # worst-case shard skew at dp x scan cost.
         self.nprobe_local = 0
         # exact=True routes TPU searches through the XLA gather path, which
         # is exact within probed lists (faiss IndexIVFFlat semantics). The

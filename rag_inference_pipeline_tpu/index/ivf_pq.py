@@ -78,7 +78,7 @@ class IVFPQIndex(BaseIndex):
         self.nlist = nlist
         self.m = m
         self.nprobe = nprobe
-        self.nprobe_local = 0  # sharded search: 0 = auto (ceil(nprobe/dp))
+        self.nprobe_local = 0  # sharded: 0 = auto (2*ceil(nprobe/dp))
         self.cap_factor = cap_factor
         # rescore_k > 0: re-score the top rescore_k ADC candidates before
         # cutting to k. rescore_kind picks the rescore store:

@@ -625,8 +625,11 @@ def sharded_ivfpq_search(
     otherwise) drops owned lists below it via `coarse_floor` — so the
     scanned union matches the unsharded search by construction (round-3
     VERDICT #7). `nprobe_local` is the per-shard scan-slot budget
-    (default ceil(nprobe/dp) — single-device work parity; a shard owning
-    more global winners than slots drops the tail). Per-shard top-k
+    (default 2*ceil(nprobe/dp) — the measured exactness point: at the
+    1x work-parity share a shard owning more global winners than slots
+    drops the tail and loses recall, from 2x the sharded ranking was
+    exactly the unsharded one at every tested budget,
+    artifacts/round4/ivf_sharded_parity.json). Per-shard top-k
     candidate sets all-gather + merge identically on every device.
     Stored ids are global. Exact re-score of the merged shortlist is the
     caller's job (index/ivf_pq.py) — rescore vectors do not shard with
@@ -639,7 +642,8 @@ def sharded_ivfpq_search(
 
     dp = ctx.dp
     if nprobe_local <= 0:
-        nprobe_local = max(1, -(-nprobe // dp))
+        # 2x the balanced share: measured exact-parity default (see above)
+        nprobe_local = max(1, 2 * -(-nprobe // dp))
     nlist = listing.code_buckets.shape[0]
     nprobe_local = min(nprobe_local, nlist // dp)
     nprobe_eff = min(nprobe, nlist)

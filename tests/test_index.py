@@ -359,9 +359,16 @@ class TestShardedIVF:
         _, i_ref = ref.search(q, 10)
         _, i_sh = sh.search(q, 10)
         r_ref, r_sh = recall(i_ref), recall(i_sh)
-        # balanced local probing (ceil(nprobe/dp) per shard) must track the
-        # global top-nprobe within a few points on clustered data
-        assert r_sh >= r_ref - 0.1, (r_sh, r_ref)
+        # the auto scan-slot default is 2*ceil(nprobe/dp) — the measured
+        # exactness point (artifacts/round4/ivf_sharded_parity.json, round-4
+        # VERDICT weak #2): at it, the sharded result must MATCH the
+        # unsharded search, not just track it (same training data => same
+        # centroids => same global probe set; 2x slots => no shard drops a
+        # threshold-clearing list on this fixture)
+        i_ref, i_sh = np.asarray(i_ref), np.asarray(i_sh)
+        for row_ref, row_sh in zip(i_ref, i_sh):
+            assert set(row_ref.tolist()) == set(row_sh.tolist())
+        assert r_sh == r_ref
         assert r_sh >= 0.8, r_sh
 
     def test_ivf_flat_dp8_ids_valid(self, rng, mesh_dp8):
