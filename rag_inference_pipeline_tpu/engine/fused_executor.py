@@ -200,6 +200,26 @@ class FusedExecutor:
         ))
 
     def process_batch(self, items: Sequence[dict]) -> list[dict]:
+        """Batch -> chunks -> pipelined device dispatches.
+
+        Saturation structure (round-4 VERDICT #2 — at conc 50 the old
+        fetch-then-dispatch loop serialized every chunk's ~30 ms tunnel
+        fetch and all host work against an idle device, and classify ran
+        only after ALL device steps):
+
+        1. dispatch EVERY chunk's fused step up front (jax dispatch is
+           async; the device queue runs them back-to-back while the host
+           is still tokenizing later chunks),
+        2. then per chunk in order: fetch tokens (blocks only on that
+           chunk's step — later steps keep running), decode text, and
+           immediately dispatch its joint classify, so chunk N's classify
+           is enqueued while chunk N+1's step executes,
+        3. fetch all classify verdicts last.
+
+        Host work (tokenize/decode/classify-encode) now overlaps device
+        work instead of gating it, and concurrent `process_batch` calls
+        from other gateway batches interleave at the device queue rather
+        than behind a host bubble."""
         if not items:
             return []
         s = self.settings
@@ -209,18 +229,34 @@ class FusedExecutor:
             -(-b // dp) * dp for b in s.shape_buckets
         )
         prof = self.profiler.maybe_start()
-        out_texts: list[str] = []
         max_chunk = max(buckets)
-        with prof.track("device_step"):
-            for start in range(0, len(items), max_chunk):
-                chunk_items = items[start : start + max_chunk]
-                out_texts.extend(self._run_chunk(chunk_items, buckets))
-        texts = out_texts
+        spans = [
+            (a, min(a + max_chunk, len(items)))
+            for a in range(0, len(items), max_chunk)
+        ]
         sent_on = self.sentiment is not None and self.sentiment.is_loaded
         tox_on = self.toxicity is not None and self.toxicity.is_loaded
-        if sent_on and tox_on:
+        joint = sent_on and tox_on
+        with prof.track("device_dispatch"):
+            pend = [
+                self._dispatch_chunk(items[a:b], buckets) for a, b in spans
+            ]
+        texts: list[str] = []
+        cls_pend = []
+        for (a, b), out in zip(spans, pend):
+            with prof.track("device_step"):
+                chunk_texts = self._fetch_texts(out, b - a)
+            texts.extend(chunk_texts)
+            if joint:
+                with prof.track("classify_dispatch"):
+                    cls_pend.append(self._dispatch_classify(chunk_texts))
+        if joint:
             with prof.track("classify"):
-                sentiments, tox = self._classify_joint(texts)
+                sentiments, tox = [], []
+                for cp in cls_pend:
+                    lab, ver = self._fetch_classify(cp)
+                    sentiments.extend(lab)
+                    tox.extend(ver)
         else:
             with prof.track("sentiment"):
                 sentiments = (
@@ -246,9 +282,7 @@ class FusedExecutor:
             for text, sent, (t, _) in zip(texts, sentiments, tox)
         ]
 
-    def _classify_joint(
-        self, texts: Sequence[str]
-    ) -> tuple[list[str], list[tuple[bool, float]]]:
+    def _dispatch_classify(self, texts: Sequence[str]) -> list:
         """Both post-processing classifiers in ONE jit dispatch.
 
         The standalone path (`SentimentComponent.analyze_batch` then
@@ -267,13 +301,16 @@ class FusedExecutor:
         round trips (~30 ms each — measured 72 ms/classify in
         `fused_serving_1m_20260820_011335`, no better than the serial
         dispatches it replaced). One dispatch + one tiny fetch is the floor
-        for this stage."""
+        for this stage.
+
+        Returns pending (device_out, n) pairs — no host sync; pair with
+        `_fetch_classify` (split so process_batch can overlap chunk N's
+        classify with chunk N+1's device step, round-4 VERDICT #2)."""
         import jax
         import jax.numpy as jnp
         from functools import partial
 
         from ..models.bert import bert_classify
-        from ..models.components import _SENTIMENT_LABELS
         from ..utils.shapes import chunk_spans
 
         sent, tox = self.sentiment, self.toxicity
@@ -293,11 +330,10 @@ class FusedExecutor:
         ids_s, mask_s = sent.tokenizer.encode_batch(clipped, sent.max_len)
         ids_t, mask_t = tox.tokenizer.encode_batch(clipped, tox.max_len)
         buckets = self.settings.shape_buckets
-        labels: list[str] = []
-        verdicts: list[tuple[bool, float]] = []
+        pend = []
         for cs, ce in chunk_spans(len(clipped), max(buckets)):
             bucket = pick_bucket(ce - cs, buckets)
-            out = np.asarray(
+            pend.append((
                 self._joint_fwd(
                     sent.params,
                     tox.params,
@@ -305,15 +341,36 @@ class FusedExecutor:
                         jnp.asarray(pad_rows(a[cs:ce], bucket))
                         for a in (ids_s, mask_s, ids_t, mask_t)
                     ),
-                )
-            )[: ce - cs]
+                ),
+                ce - cs,
+            ))
+        return pend
+
+    def _fetch_classify(
+        self, pend
+    ) -> tuple[list[str], list[tuple[bool, float]]]:
+        """Block on dispatched joint-classify outputs -> labels/verdicts."""
+        from ..models.components import _SENTIMENT_LABELS
+
+        tox = self.toxicity
+        labels: list[str] = []
+        verdicts: list[tuple[bool, float]] = []
+        for dev_out, n in pend:
+            out = np.asarray(dev_out)[:n]
             labels.extend(_SENTIMENT_LABELS[int(i)] for i in out[:, 0])
             verdicts.extend(
                 (bool(w >= tox.THRESHOLD), float(w)) for w in out[:, 1]
             )
         return labels, verdicts
 
-    def _run_chunk(self, items: Sequence[dict], buckets) -> list[str]:
+    def _classify_joint(
+        self, texts: Sequence[str]
+    ) -> tuple[list[str], list[tuple[bool, float]]]:
+        return self._fetch_classify(self._dispatch_classify(texts))
+
+    def _dispatch_chunk(self, items: Sequence[dict], buckets):
+        """Tokenize + enqueue one chunk's fused step; returns the pending
+        device output (no host sync — jax dispatch is async)."""
         queries = [it.get("query", "") for it in items]
         qlen = self._query_len()
         emb_ids, emb_mask = self.embedder.tokenizer.encode_batch(queries, qlen)
@@ -324,8 +381,11 @@ class FusedExecutor:
         )
         emb_mask[len(items):, 0] = 1  # keep padded lanes position-valid
         lm_mask[len(items):, 0] = 1
-        out = self._get_pipe().step(emb_ids, emb_mask, lm_ids, lm_mask)
-        toks = np.asarray(out.tokens)[: len(items)]
+        return self._get_pipe().step(emb_ids, emb_mask, lm_ids, lm_mask)
+
+    def _fetch_texts(self, out, n: int) -> list[str]:
+        """Block on one dispatched chunk's tokens and decode to text."""
+        toks = np.asarray(out.tokens)[:n]
         eos = self.llm.tokenizer.eos_id
         texts = []
         for row in toks:
@@ -333,3 +393,8 @@ class FusedExecutor:
             end = int(stop[0]) if len(stop) else len(row)
             texts.append(self.llm.tokenizer.decode(row[:end]))
         return texts
+
+    def _run_chunk(self, items: Sequence[dict], buckets) -> list[str]:
+        return self._fetch_texts(
+            self._dispatch_chunk(items, buckets), len(items)
+        )

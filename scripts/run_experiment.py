@@ -115,18 +115,24 @@ def main() -> None:
                 raise RuntimeError(f"node {node_str} never became healthy ({url})")
         print("all nodes healthy")
 
-        workload = manifest.get("workload", {})
-        wl_cmd = [
-            sys.executable,
-            os.path.join(REPO, "scripts", "profile_pipeline.py"),
-            "--url", gateway,
-            "--requests", str(workload.get("requests", 50)),
-            "--concurrency", str(workload.get("concurrency", 4)),
-            "--randomize-queries",
-            "--out-dir", out_dir,
-            "--run-id", ts,
-        ]
-        subprocess.run(wl_cmd, check=True)
+        # `workloads:` (list) sweeps several request/concurrency points
+        # against ONE boot — summary.csv appends a row per point (the
+        # reference's tier CSVs are exactly this shape, conc up to 128);
+        # `workload:` (single) keeps the original behavior.
+        workloads = manifest.get("workloads") or [manifest.get("workload", {})]
+        for i, workload in enumerate(workloads):
+            wl_cmd = [
+                sys.executable,
+                os.path.join(REPO, "scripts", "profile_pipeline.py"),
+                "--url", gateway,
+                "--requests", str(workload.get("requests", 50)),
+                "--concurrency", str(workload.get("concurrency", 4)),
+                "--randomize-queries",
+                "--out-dir", out_dir,
+                "--run-id", f"{ts}_c{workload.get('concurrency', 4)}"
+                if len(workloads) > 1 else ts,
+            ]
+            subprocess.run(wl_cmd, check=True)
 
         # metrics + per-process RSS snapshot (reference :455-467)
         cap = subprocess.run(
