@@ -823,9 +823,22 @@ class Int4ResidualTier(NamedTuple):
     re-ranks a shade under the 1-byte/dim host_int8 tier — REFUTING the
     round-3 hypothesis that 4 bits/dim suffices for exact-level near-tie
     ranking (that needs ~6+; amax-clip sweeps measured strictly worse, so
-    this is the 4-bit wall, not a quantizer artifact). Cost: D/2 bytes +
-    6 B (assign + f16 row scale) per row = 390 B at D=768 -> 11.7 GB at
-    30M rows, HBM-resident on a 16 GB chip with zero host-RAM store.
+    this is the 4-bit wall, not a quantizer artifact).
+
+    Measured recall@10 band (tests/test_int4_tier.py): ~0.78 on the
+    tight-cluster fixture, ~0.85 on the realistic spread-0.7 corpus
+    where exact scores 0.98 ON THE SAME BUILD — geometry barely helps,
+    because score gaps and reconstruction error BOTH scale with the
+    residual magnitude. Treat int4 as a mid-0.8s ranking tier (pq8 ~0.5
+    < int4 ~0.85 < host_int8 0.958 < host_f16 ~exact), never a
+    near-exact one.
+
+    Cost: D/2 bytes + 6 B (assign + f16 row scale) per row = 390 B at
+    D=768. The tier alone is 11.7 GB at 30M rows, but it rides NEXT TO
+    the PQ4 listing that produces the shortlist (~cap_factor x 128 B/row
+    = 320 B at cap 2.5): ~710 B/row all-in, so the honest zero-host-
+    store single-chip ceiling is ~20M rows at cap 2.5 (~24M at 1.5) on
+    16 GB — not the tier-only 30M the round-4 note implied.
 
     Layout: residual r = x - centroid[assign] quantized symmetrically at
     4 bits with a PER-ROW scale (one f16/row is free next to 384 B of

@@ -83,8 +83,12 @@ def main() -> None:
     #     device-only capacity point: measured precision wall means
     #     mid-recall on tight clusters (>=4 bits/dim needed to re-rank
     #     near-ties).
+    #   int4 — int4 per-row-scaled residual tier in HBM
+    #     (ops/pq.py::Int4ResidualTier, 0.5 byte/dim): the device-only
+    #     capacity point between pq8 (2 bits/dim, mid-recall) and the
+    #     flat-int8 copy (1 byte/dim, doesn't fit >=20M). Zero host store.
     ap.add_argument("--rescore-kind",
-                    choices=("int8", "pq8", "host_int8", "host_f16"),
+                    choices=("int8", "pq8", "int4", "host_int8", "host_f16"),
                     default="int8")
     # int8 kind only: ALSO measure the flat ladder with an f16 host-RAM
     # refine of the device shortlist (index/flat.py rescore_store="host")
@@ -110,6 +114,8 @@ def main() -> None:
     from rag_inference_pipeline_tpu.ops import fused_topk_int8gs, int8_mm_bf16_ok
     from rag_inference_pipeline_tpu.ops.kmeans import kmeans
     from rag_inference_pipeline_tpu.ops.pq import (
+        Int4ResidualTier,
+        int4_tier_rescore_topk,
         ivfpq4_search_dedup,
         IVFPQListing,
         PQFlatTier,
@@ -263,6 +269,10 @@ def main() -> None:
                              "the ids-fetch RTT)",
                 "host_f16": "host-RAM f16 refine (near-exact ranking; "
                             "ladder times INCLUDE the ids-fetch RTT)",
+                "int4": f"int4 per-row-scaled residual tier in HBM "
+                        f"({n * (d // 2 + 6) / 2**30:.1f} GB) — zero "
+                        "host store (faiss refine-from-storage shape, "
+                        "SQ4 refine index analog)",
                 }.get(args.rescore_kind,
                       f"flat residual-PQ8 tier in HBM "
                       f"({n * args.m8 / 2**30:.1f} GB, m8={args.m8})"))
@@ -629,6 +639,50 @@ def main() -> None:
             codes=codes8,
             assign=assign_dev,
         )
+    tier4 = None
+    if args.rescore_kind == "int4":
+        # int4 residual tier, row-id addressed: d/2 code bytes + one f16
+        # per-row scale next to the PQ4 buckets. Encode matches
+        # ops/pq.py::build_int4_tier (symmetric, per-row amax/7 scale)
+        # but streams the keyed corpus on device — the bench's x never
+        # exists on any host.
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def encode4(i, codes_buf, scale_buf, cents, a_all, gen_centers):
+            def chunk4(j):
+                a = jax.lax.dynamic_slice_in_dim(
+                    a_all, i * blk + j * gch, gch
+                )
+                r = gen_chunk(i, j, gen_centers) - cents[a]
+                amax = jnp.max(jnp.abs(r), axis=1)
+                sc = jnp.maximum(amax / 7.0, 1e-8)
+                qv = jnp.clip(
+                    jnp.round(r / sc[:, None]), -8, 7
+                ).astype(jnp.int32)
+                u = (qv + 8).astype(jnp.uint8)
+                return u[:, 0::2] | (u[:, 1::2] << 4), sc.astype(jnp.float16)
+
+            packed, sc = jax.lax.map(chunk4, jnp.arange(n_ch))
+            codes_buf = jax.lax.dynamic_update_slice(
+                codes_buf, packed.reshape(blk, d // 2), (i * blk, 0)
+            )
+            scale_buf = jax.lax.dynamic_update_slice(
+                scale_buf, sc.reshape(blk), (i * blk,)
+            )
+            return codes_buf, scale_buf
+
+        codes4 = jnp.zeros((n, d // 2), jnp.uint8)
+        scl4 = jnp.zeros((n,), jnp.float16)
+        for i in range(n_blocks):
+            codes4, scl4 = encode4(
+                i, codes4, scl4, centroids, assign_dev, _centers
+            )
+            print(f"  encode4 block {i + 1}/{n_blocks}", flush=True)
+        tier4 = Int4ResidualTier(
+            centroids=centroids,
+            codes=codes4,
+            row_scale=scl4,
+            assign=assign_dev,
+        )
     host_codes = None
     host_scale = 0.0
     host_f16_store = None
@@ -685,9 +739,20 @@ def main() -> None:
         )
         return pq_tier_rescore_topk(qq.astype(jnp.float32), s, ids_, tr, k)
 
+    def pq_search_tier4(qq, lst, tr, *, nprobe, rescore):
+        # int4 HBM tier: re-rank the PQ4 ADC shortlist against per-row-
+        # scaled int4 residuals (0.5 byte/dim) — zero host store
+        s, ids_ = ivfpq4_search_dedup(
+            lst, qq, rescore, nprobe=nprobe, interpret=interpret,
+        )
+        return int4_tier_rescore_topk(qq.astype(jnp.float32), s, ids_, tr, k)
+
     if args.rescore_kind == "pq8":
         ladder_extra = (listing, tier)
         ladder_fn = pq_search_tier
+    elif args.rescore_kind == "int4":
+        ladder_extra = (listing, tier4)
+        ladder_fn = pq_search_tier4
     elif args.rescore_kind == "int8":
         ladder_extra = (listing, db_i8, scale_f)
         ladder_fn = pq_search

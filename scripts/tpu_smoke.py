@@ -131,6 +131,20 @@ def main() -> int:
         _, ids = pq.search(qj, k)
         checks.append(("ivfpq4_rescore", recall(ids), 0.80))
 
+        # 6. int4 residual HBM rescore tier (round-4 VERDICT #5: gate the
+        # tier on hardware — nibble unpack + per-row f16 scale dequant is
+        # exactly the kind of op Mosaic lowers differently than interpret
+        # mode). Floor is the measured band minus probing loss, NOT the
+        # exact-rescore floor: the 4-bit wall puts int4 at ~0.78-0.85
+        # (tests/test_int4_tier.py::test_int4_near_exact_on_realistic_spread)
+        pq4t = IVFPQIndex(
+            d, 512, 96, nprobe=128, rescore_k=256, ksub=16,
+            rescore_kind="int4",
+        )
+        pq4t.train_add(x, train_size=20000, kmeans_iters=6, pq_iters=6)
+        _, ids = pq4t.search(qj, k)
+        checks.append(("ivfpq4_int4_tier", recall(ids), 0.70))
+
     ok = True
     for name, rec, floor in checks:
         results[f"recall_{name}"] = round(rec, 4)
