@@ -72,6 +72,10 @@ class Settings(BaseModel):
     gateway_pipeline_chunks: int = 4
     adaptive_batching: bool = True
     adaptive_min_delay_ms: float = 5.0
+    # work-conserving flush: a completing batch immediately flushes the
+    # pending one (reason "ready") — at saturation batching self-clocks on
+    # completions instead of the timer (round-4 VERDICT #2; engine/batcher.py)
+    batch_flush_on_ready: bool = True
     # XLA needs static shapes: the batcher pads to these bucket sizes
     batch_shape_buckets: str = "1,2,4,8,16,32,64"
     # device HBM budget used to derive the LLM's safe bucket-ladder cap at

@@ -10,6 +10,13 @@ future in it; result-count mismatches are detected.
 TPU adaptation (SURVEY.md section 7.4 item 7): the consumer pads batches to
 shape buckets, so the policy's job is to pick *when* to cut a batch; the
 bucket ladder quantizes *what size* reaches XLA.
+
+Beyond the reference: `flush_on_ready` (default on) adds a fourth flush
+reason, "ready" — a completing batch immediately flushes the pending one.
+The single downstream device makes completion the natural batch clock at
+saturation (continuous batching at batch granularity); the conc-50 sweep
+measured 43.5 ms p50 of pure timer wait without it. Idle behavior is
+unchanged (no completions -> timer cuts as before).
 """
 
 from __future__ import annotations
@@ -97,6 +104,7 @@ class BatchScheduler:
         name: str = "scheduler",
         adaptive: bool = True,
         min_delay_s: float = 0.005,
+        flush_on_ready: bool = True,
         run_id: str = "dev",
         node: str = "0",
     ) -> None:
@@ -108,6 +116,16 @@ class BatchScheduler:
             if adaptive
             else FixedBatchPolicy(batch_size, timeout_s)
         )
+        # work-conserving saturation clock (round-4 VERDICT #2): when a
+        # batch completes, the stage it fed just freed capacity — flush
+        # whatever is pending IMMEDIATELY (reason "ready") instead of
+        # letting it sit out the timer. At saturation batches self-clock
+        # on completions (the conc-50 sweep measured 43.5 ms p50 of pure
+        # timer wait without this); when idle, the size-or-timer behavior
+        # is unchanged (no completion events, so the timer still cuts).
+        self.flush_on_ready = flush_on_ready
+        self._min_delay_s = min(min_delay_s, timeout_s)
+        self._inflight = 0
         self._batch = Batch()
         self._lock = asyncio.Lock()
         self._timer: Optional[asyncio.Task] = None
@@ -119,7 +137,7 @@ class BatchScheduler:
         self._m_wait = BATCH_WAIT.labels(*labels)
         self._m_flush = {
             r: BATCH_FLUSH.labels(run_id, node, name, r)
-            for r in ("full", "timeout", "shutdown")
+            for r in ("full", "timeout", "ready", "shutdown")
         }
 
     async def enqueue(self, item: Any) -> Any:
@@ -173,8 +191,19 @@ class BatchScheduler:
         return list(await asyncio.gather(*futs))
 
     async def _timer_task(self) -> None:
+        # work-conserving: with nothing in flight downstream, the timer is
+        # only a burst-coalescing window — cut after min_delay instead of
+        # the load-interpolated delay (the downstream would otherwise sit
+        # idle while a sub-size batch waits out the long timer). With work
+        # in flight, the long delay stands as a backstop; the "ready"
+        # flush on completion is the real clock there.
+        delay = (
+            self._min_delay_s
+            if self.flush_on_ready and self._inflight == 0
+            else self.policy.current_delay()
+        )
         try:
-            await asyncio.sleep(self.policy.current_delay())
+            await asyncio.sleep(delay)
         except asyncio.CancelledError:
             return
         async with self._lock:
@@ -204,6 +233,7 @@ class BatchScheduler:
         task.add_done_callback(self._tasks.discard)
 
     async def _run_batch(self, batch: Batch) -> None:
+        self._inflight += 1
         try:
             items = list(batch.items)
             if asyncio.iscoroutinefunction(self.process_fn):
@@ -237,6 +267,12 @@ class BatchScheduler:
             for fut in batch.futures:
                 if not fut.done():
                     fut.set_exception(exc)
+        finally:
+            self._inflight -= 1
+            if self.flush_on_ready:
+                async with self._lock:
+                    if self._batch.items and not self._closed:
+                        self._flush_locked("ready")
 
     async def stop(self) -> None:
         """Flush pending work (reason=shutdown) and wait for in-flight batches

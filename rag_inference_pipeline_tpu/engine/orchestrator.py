@@ -92,6 +92,7 @@ class Orchestrator:
             timeout_s=settings.gateway_batch_timeout_ms / 1e3,
             adaptive=settings.adaptive_batching,
             min_delay_s=settings.adaptive_min_delay_ms / 1e3,
+            flush_on_ready=settings.batch_flush_on_ready,
             name="gateway",
             run_id=settings.run_id,
             node=str(settings.node_number),

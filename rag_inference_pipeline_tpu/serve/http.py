@@ -455,6 +455,7 @@ def create_app(
                 batch_size=settings.retrieval_batch_size,
                 timeout_s=settings.retrieval_batch_timeout_ms / 1e3,
                 adaptive=settings.adaptive_batching,
+                flush_on_ready=settings.batch_flush_on_ready,
                 name="retrieval",
                 run_id=settings.run_id,
                 node=str(settings.node_number),
@@ -471,6 +472,7 @@ def create_app(
                 batch_size=settings.generation_batch_size,
                 timeout_s=settings.generation_batch_timeout_ms / 1e3,
                 adaptive=settings.adaptive_batching,
+                flush_on_ready=settings.batch_flush_on_ready,
                 name="generation",
                 run_id=settings.run_id,
                 node=str(settings.node_number),

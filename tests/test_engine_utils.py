@@ -155,6 +155,89 @@ class TestBatchScheduler:
 
         run(main())
 
+    def test_flush_on_ready_self_clocks(self):
+        """Round-5 saturation clock: while a batch is processing, pending
+        items do NOT wait out the (long) timer — they flush the moment the
+        in-flight batch completes, with reason "ready"."""
+        async def main():
+            seen = []
+            release = asyncio.Event()
+
+            async def fn(items):
+                seen.append(list(items))
+                if len(seen) == 1:
+                    await release.wait()  # hold batch 1 "on device"
+                return [i * 10 for i in items]
+
+            # backstop timer far too long to explain any flush in the test
+            s = BatchScheduler(fn, batch_size=8, timeout_s=30.0, name="tr")
+            first = [asyncio.create_task(s.enqueue(i)) for i in range(1, 9)]
+            await asyncio.sleep(0.02)
+            assert [len(b) for b in seen] == [8]  # full flush, in flight
+            # these arrive while the device is busy; timer alone would
+            # strand them for 30 s
+            late = [asyncio.create_task(s.enqueue(i)) for i in (91, 92)]
+            await asyncio.sleep(0.02)
+            assert len(seen) == 1  # still pending
+            release.set()  # batch 1 completes -> ready-flush fires
+            res = await asyncio.gather(*late)
+            assert res == [910, 920]
+            assert [len(b) for b in seen] == [8, 2]
+            await s.stop()
+
+        run(main())
+
+    def test_idle_downstream_cuts_at_min_delay(self):
+        """With nothing in flight, a sub-size batch must flush after the
+        tiny coalescing window (min_delay), not the long backstop timer —
+        the device would otherwise idle under a waiting batch."""
+        async def main():
+            seen = []
+
+            async def fn(items):
+                seen.append(list(items))
+                return items
+
+            s = BatchScheduler(
+                fn, batch_size=32, timeout_s=30.0, min_delay_s=0.005,
+                name="ti",
+            )
+            t0 = asyncio.get_running_loop().time()
+            await s.enqueue("a")
+            took = asyncio.get_running_loop().time() - t0
+            assert seen == [["a"]]
+            assert took < 1.0, took  # 5 ms window, not the 30 s backstop
+            await s.stop()
+
+        run(main())
+
+    def test_flush_on_ready_off_preserves_timer_behavior(self):
+        async def main():
+            seen = []
+            release = asyncio.Event()
+
+            async def fn(items):
+                seen.append(list(items))
+                if len(seen) == 1:
+                    await release.wait()
+                return [i * 10 for i in items]
+
+            s = BatchScheduler(fn, batch_size=2, timeout_s=0.05, name="tro",
+                               adaptive=False, flush_on_ready=False)
+            first = [asyncio.create_task(s.enqueue(i)) for i in (1, 2)]
+            await asyncio.sleep(0.01)
+            late = asyncio.create_task(s.enqueue(3))
+            await asyncio.sleep(0.01)
+            release.set()
+            await asyncio.gather(*first)
+            # with ready-flush off the late item waits for the TIMER, not
+            # the completion; both paths eventually serve it
+            assert await late == 30
+            assert [len(b) for b in seen] == [2, 1]
+            await s.stop()
+
+        run(main())
+
     def test_adaptive_policy_scales_delay(self):
         p = AdaptiveBatchPolicy(batch_size=8, max_delay_s=0.1, min_delay_s=0.01)
         assert p.current_delay() == pytest.approx(0.1)
