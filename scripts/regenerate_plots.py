@@ -95,6 +95,38 @@ def main() -> None:
     plt.close(fig)
     print(f"saved {p}")
 
+    # --- concurrency curves: sweep runs (multi-row summary.csv) ---
+    # the reference's committed results are exactly this shape: one curve
+    # per config across concurrencies (tier3 consolidated_results.csv up
+    # to conc 128). One figure: throughput vs conc + p50/p95 vs conc; the
+    # reference's best-ever p50 (856 ms) drawn as the bar to beat.
+    sweeps = df[df.groupby("run_dir")["run_dir"].transform("size") > 1]
+    if len(sweeps):
+        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(13, 5.5))
+        for rd, grp in sweeps.groupby("run_dir"):
+            grp = grp.sort_values("concurrency")
+            ax1.plot(grp["concurrency"], grp["req_per_min"], "o-", label=rd)
+            ax2.plot(grp["concurrency"], grp["p50_ms"], "o-", label=f"{rd} p50")
+            ax2.plot(grp["concurrency"], grp["p95_ms"], "s--", alpha=0.5,
+                     label=f"{rd} p95")
+        ax1.set_xlabel("concurrency")
+        ax1.set_ylabel("throughput (req/min)")
+        ax1.set_title("Throughput vs concurrency (sweep runs)")
+        ax1.grid(alpha=0.3)
+        ax1.legend(fontsize=6)
+        ax2.axhline(856, color="red", ls=":", lw=1.5,
+                    label="reference best-ever p50 (856 ms)")
+        ax2.set_xlabel("concurrency")
+        ax2.set_ylabel("latency (ms)")
+        ax2.set_title("Latency vs concurrency")
+        ax2.grid(alpha=0.3)
+        ax2.legend(fontsize=6)
+        fig.tight_layout()
+        p = os.path.join(args.out_dir, "concurrency_curves.png")
+        fig.savefig(p, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        print(f"saved {p}")
+
     # --- grouped bars: p50 vs p95 ---
     fig, ax = plt.subplots(figsize=(12, 6))
     x = range(len(latest))
