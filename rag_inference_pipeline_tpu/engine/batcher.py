@@ -125,6 +125,7 @@ class BatchScheduler:
         # is unchanged (no completion events, so the timer still cuts).
         self.flush_on_ready = flush_on_ready
         self._min_delay_s = min(min_delay_s, timeout_s)
+        self._backstop_s = timeout_s
         self._inflight = 0
         self._batch = Batch()
         self._lock = asyncio.Lock()
@@ -195,13 +196,19 @@ class BatchScheduler:
         # only a burst-coalescing window — cut after min_delay instead of
         # the load-interpolated delay (the downstream would otherwise sit
         # idle while a sub-size batch waits out the long timer). With work
-        # in flight, the long delay stands as a backstop; the "ready"
-        # flush on completion is the real clock there.
+        # IN flight, the timer must NOT clock batching at all: completions
+        # arrive every device-step (~100-400 ms), so any timer shorter
+        # than that preempts the "ready" flush and freezes batches at
+        # whatever trickled in (measured: 102/137 timer flushes at mean
+        # size 8 under conc 50 with the adaptive delay). A pending item
+        # flushed by the timer would only queue behind the in-flight
+        # device work anyway, so the long backstop costs no latency; it
+        # exists solely so a stalled downstream can't strand items.
         delay = (
             self._min_delay_s
-            if self.flush_on_ready and self._inflight == 0
-            else self.policy.current_delay()
-        )
+            if self._inflight == 0
+            else max(self.policy.current_delay(), 10.0 * self._backstop_s)
+        ) if self.flush_on_ready else self.policy.current_delay()
         try:
             await asyncio.sleep(delay)
         except asyncio.CancelledError:
