@@ -92,7 +92,16 @@ class Orchestrator:
             timeout_s=settings.gateway_batch_timeout_ms / 1e3,
             adaptive=settings.adaptive_batching,
             min_delay_s=settings.adaptive_min_delay_ms / 1e3,
-            flush_on_ready=settings.batch_flush_on_ready,
+            # completion-clocked batching fits a SERIAL downstream (the
+            # fused single-program path: one device, one stage). The
+            # 3-stage orchestrator pipeline wants overlapping batches in
+            # flight — its clock is the stage cadence (the adaptive
+            # timer), and the busy backstop was measured ADDING 500 ms
+            # of batch-wait at conc 50 on the 4.5M orchestrator run
+            # (reference_scale_sat50_20260820_135305 segment 2)
+            flush_on_ready=(
+                settings.batch_flush_on_ready and fused_executor is not None
+            ),
             name="gateway",
             run_id=settings.run_id,
             node=str(settings.node_number),

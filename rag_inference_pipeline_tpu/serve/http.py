@@ -472,7 +472,14 @@ def create_app(
                 batch_size=settings.generation_batch_size,
                 timeout_s=settings.generation_batch_timeout_ms / 1e3,
                 adaptive=settings.adaptive_batching,
-                flush_on_ready=settings.batch_flush_on_ready,
+                # engine mode interleaves many in-flight generation calls
+                # in ONE continuously-batched decode loop — completion
+                # clocking would serialize its feed (see orchestrator.py
+                # for the same reasoning on the pipelined gateway)
+                flush_on_ready=(
+                    settings.batch_flush_on_ready
+                    and not settings.use_continuous_batching
+                ),
                 name="generation",
                 run_id=settings.run_id,
                 node=str(settings.node_number),
