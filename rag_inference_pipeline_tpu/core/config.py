@@ -216,6 +216,13 @@ class Settings(BaseModel):
     # --- fused device pipeline (embed->ANN->decode in one jit) ---
     use_fused_pipeline: bool = False
     doc_tokens_path: Optional[str] = None
+    # fused chunking: process_batch splits a gateway batch into device
+    # chunks of at most this many lanes (0 = the max shape bucket). The
+    # fused step's per-request device cost is FLAT from B=8 to B=16
+    # (PERF_NOTES round-5 saturation), so chunks smaller than the flush
+    # cap cost no device time while letting chunk N's host work (decode,
+    # classify tokenize) overlap chunk N+1's device step
+    fused_chunk_lanes: int = 0
 
     # --- generation decode engine ---
     # persistent-lane decode engine. Two measured regimes (PERF_NOTES):

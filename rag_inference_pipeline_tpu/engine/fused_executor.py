@@ -230,6 +230,11 @@ class FusedExecutor:
         )
         prof = self.profiler.maybe_start()
         max_chunk = max(buckets)
+        if s.fused_chunk_lanes > 0:
+            # sub-bucket chunking: no device-time cost while per-request
+            # step cost is flat across these bucket sizes, and chunk N's
+            # host work overlaps chunk N+1's device step (core/config.py)
+            max_chunk = min(max_chunk, -(-s.fused_chunk_lanes // dp) * dp)
         spans = [
             (a, min(a + max_chunk, len(items)))
             for a in range(0, len(items), max_chunk)
