@@ -221,8 +221,11 @@ class Settings(BaseModel):
     # fused step's per-request device cost is FLAT from B=8 to B=16
     # (PERF_NOTES round-5 saturation), so chunks smaller than the flush
     # cap cost no device time while letting chunk N's host work (decode,
-    # classify tokenize) overlap chunk N+1's device step
-    fused_chunk_lanes: int = 0
+    # classify tokenize) overlap chunk N+1's device step. Default 8:
+    # measured better-or-equal at EVERY concurrency on the serving curve
+    # (conc 16 lockstep 667 -> 440 ms p50, conc 100 throughput +24%;
+    # concsweep_chunk8 vs v4, PERF_NOTES "saturation program")
+    fused_chunk_lanes: int = 8
 
     # --- generation decode engine ---
     # persistent-lane decode engine. Two measured regimes (PERF_NOTES):
