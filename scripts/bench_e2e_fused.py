@@ -23,7 +23,12 @@ p50 1,470 ms (reference llm.py:343-350; BASELINE.md row 1).
 
 from __future__ import annotations
 
-import _pathfix  # noqa: F401  (repo-root import without pip install)
+try:  # repo-root import without pip install; scripts/ is sys.path[0]
+    # only when run as a script — harmless to skip when imported as a
+    # module by tests (the package is importable there already)
+    import _pathfix  # noqa: F401
+except ImportError:
+    pass
 
 import argparse
 import functools

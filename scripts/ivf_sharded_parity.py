@@ -21,7 +21,12 @@ Usage:
 
 from __future__ import annotations
 
-import _pathfix  # noqa: F401  (repo-root import without pip install)
+try:  # repo-root import without pip install; scripts/ is sys.path[0]
+    # only when run as a script — harmless to skip when imported as a
+    # module by tests (the package is importable there already)
+    import _pathfix  # noqa: F401
+except ImportError:
+    pass
 
 import argparse
 import json

@@ -32,7 +32,15 @@ class TestConfigLibrary:
         assert len(paths) >= 5
         for p in paths:
             m = yaml.safe_load(open(p))
-            assert "nodes" in m and "workload" in m, p
+            # `workload:` (single) or `workloads:` (sweep — one boot,
+            # several request/concurrency points; run_experiment.py)
+            assert "nodes" in m, p
+            wl = m.get("workloads") or [m.get("workload")]
+            assert all(
+                isinstance(w, dict)
+                and {"requests", "concurrency"} <= set(w)
+                for w in wl
+            ), p
             for spec in m["nodes"].values():
                 profile = spec["profile"]
                 assert os.path.exists(
