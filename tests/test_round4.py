@@ -173,3 +173,49 @@ class TestPipelinedProcessBatch:
         texts = [f"text {i} with mixed feelings" for i in range(6)]
         got = ex._fetch_classify(ex._dispatch_classify(texts))
         assert got == ex._classify_joint(texts)
+
+    def test_fused_chunk_lanes_split(self):
+        """fused_chunk_lanes=K splits a flush into ceil(n/K) pipelined
+        device chunks (results identical to whole-bucket chunking)."""
+        from rag_inference_pipeline_tpu.engine.device_pipeline import (
+            RAGStepOutput,
+        )
+        from rag_inference_pipeline_tpu.engine.fused_executor import (
+            FusedExecutor,
+        )
+        from rag_inference_pipeline_tpu.models.components import (
+            EmbedderComponent,
+            LLMComponent,
+        )
+        from tests.test_serve import tiny_settings
+
+        s = tiny_settings(use_fused_pipeline=True, fused_chunk_lanes=2)
+        emb = EmbedderComponent(s)
+        emb.load()
+        llm = LLMComponent(s)
+        llm.load()
+
+        class _Mesh:
+            dp = 1
+            tp = 1
+
+        ex = FusedExecutor(
+            s, mesh_ctx=_Mesh(), embedder=emb, index=None, llm=llm,
+        )
+        ex.doc_tokens = np.ones((8, 4), np.int32)
+        sizes = []
+
+        class _Pipe:
+            def step(self, emb_ids, emb_mask, lm_ids, lm_mask):
+                b = emb_ids.shape[0]
+                sizes.append(b)
+                return RAGStepOutput(
+                    tokens=np.full((b, 4), 7, np.int64),
+                    doc_ids=np.zeros((b, 5), np.int32),
+                    scores=np.zeros((b, 5), np.float32),
+                )
+
+        ex._pipe = _Pipe()
+        out = ex.process_batch([{"query": f"q{i}"} for i in range(7)])
+        assert len(out) == 7
+        assert sizes == [2, 2, 2, 1]  # 4 chunks of <=2; tail picks bucket 1
